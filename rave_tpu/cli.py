@@ -1,0 +1,75 @@
+"""``rave-tpu`` console dispatcher.
+
+Mirrors the reference CLI surface (``scripts/main_cli.py:19-48``:
+``rave {preprocess,train,export,export_onnx,remote_dataset}``) with
+argparse subcommands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    p = argparse.ArgumentParser("rave-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pp = sub.add_parser("preprocess", help="build a dataset from audio files")
+    pp.add_argument("--input_path", required=True)
+    pp.add_argument("--output_path", required=True)
+    pp.add_argument("--num_signal", type=int, default=131072)
+    pp.add_argument("--sampling_rate", type=int, default=44100)
+    pp.add_argument("--num_workers", type=int, default=8)
+
+    tr = sub.add_parser("train", help="train a model")
+    tr.add_argument("--config", action="append", default=[],
+                    help="config preset(s), composed in order (like the "
+                         "reference's multi --config gin flags)")
+    tr.add_argument("--override", action="append", default=[],
+                    help="key=value config overrides")
+    tr.add_argument("--db_path", required=True)
+    tr.add_argument("--name", default="run")
+    tr.add_argument("--out_path", default="runs")
+    tr.add_argument("--max_steps", type=int, default=None)
+    tr.add_argument("--val_every", type=int, default=10000)
+    tr.add_argument("--ckpt_every", type=int, default=10000)
+    tr.add_argument("--batch", type=int, default=None)
+    tr.add_argument("--ema", type=float, default=None)
+    tr.add_argument("--resume", action="store_true")
+
+    ex = sub.add_parser("export", help="export a streaming model")
+    ex.add_argument("--run", required=True)
+    ex.add_argument("--streaming", action="store_true", default=True)
+    ex.add_argument("--chunk_size", type=int, default=2048)
+
+    st = sub.add_parser("speaker_stats", help="per-speaker f0 statistics")
+    st.add_argument("--db_path", required=True)
+    st.add_argument("--out", default="speaker_stats.json")
+
+    args = p.parse_args(argv)
+
+    if args.command == "preprocess":
+        from .data.dataset import preprocess
+        meta = preprocess(args.input_path, args.output_path,
+                          n_signal=args.num_signal,
+                          sample_rate=args.sampling_rate,
+                          num_workers=args.num_workers)
+        print(meta)
+    elif args.command == "train":
+        from .train.trainer import train_main
+        train_main(args)
+    elif args.command == "export":
+        from .export.streaming import export_main
+        export_main(args)
+    elif args.command == "speaker_stats":
+        from .data.dataset import AudioDataset
+        from .data.pitch import compute_speaker_stats
+        ds = AudioDataset(args.db_path)
+        stats = compute_speaker_stats(ds, args.out)
+        print(json.dumps(stats, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,319 @@
+"""Preprocessing + dataset pipeline.
+
+TPU-native replacement for the reference L4 stack
+(``scripts/preprocess.py``, ``rave/dataset.py``): instead of
+LMDB + protobuf records decoded per item, audio is preprocessed once into
+a **fixed-record int16 memmap** (``data.bin`` + ``meta.json``) --
+zero-copy reads, trivially shardable across data-parallel hosts, and the
+whole batch assembly is numpy until the single host->device transfer.
+
+Components mirrored:
+* ``preprocess``           <- scripts/preprocess.py:56-233 (non-lazy mode)
+* ``AudioDataset``         <- rave/dataset.py:155-197
+* ``LazyAudioDataset``     <- rave/dataset.py:200-289 (per-item decode)
+* transform chain          <- rave/dataset.py:325-362 (RandomCrop,
+  random phase mangle p=.8, 16-bit dequantize)
+* ``split_dataset``        <- rave/dataset.py:366-379 (98/2, cap 1000,
+  seed 42)
+* ``RandomBackgroundNoise``<- rave/dataset.py:65-144
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import threading
+import queue as queue_mod
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+from scipy.signal import lfilter
+
+from .audio_io import load_audio, search_for_audios
+
+
+# ----------------------------------------------------------------------
+# preprocessing: audio files -> fixed-record int16 memmap
+# ----------------------------------------------------------------------
+
+def _decode_one(args):
+    path, sr, n_signal = args
+    try:
+        x = load_audio(str(path), sr)
+    except Exception as e:  # undecodable file: skip, like the reference
+        print(f"skip {path}: {e}")
+        return None, path
+    n = (len(x) // n_signal) * n_signal
+    if n == 0:
+        return None, path
+    chunks = (np.clip(x[:n], -1, 1) * 32767).astype("<i2")
+    return chunks.reshape(-1, n_signal), path
+
+
+def preprocess(input_path: str, output_path: str, n_signal: int = 131072,
+               sample_rate: int = 44100, num_workers: int = 8,
+               speaker_from: str = "parent") -> dict:
+    """Decode every audio file under ``input_path`` into ``n_signal``
+    chunks, concatenated in one int16 memmap.  ``speaker_from='parent'``
+    labels each chunk with its parent directory name (VCTK layout), as the
+    reference's lazy dataset derives speaker ids from paths
+    (``rave/dataset.py:244-256``)."""
+    out = Path(output_path)
+    out.mkdir(parents=True, exist_ok=True)
+    audios = search_for_audios(input_path)
+    if not audios:
+        raise FileNotFoundError(f"no audio under {input_path}")
+
+    jobs = [(p, sample_rate, n_signal) for p in audios]
+    speakers: list[str] = []
+    blocks = []
+    if num_workers > 1:
+        with mp.Pool(num_workers) as pool:
+            results = pool.imap(_decode_one, jobs)
+            for chunks, path in results:
+                if chunks is None:
+                    continue
+                spk = path.parent.name if speaker_from == "parent" else "0"
+                blocks.append(chunks)
+                speakers.extend([spk] * len(chunks))
+    else:
+        for job in jobs:
+            chunks, path = _decode_one(job)
+            if chunks is None:
+                continue
+            spk = path.parent.name if speaker_from == "parent" else "0"
+            blocks.append(chunks)
+            speakers.extend([spk] * len(chunks))
+
+    data = np.concatenate(blocks, axis=0)
+    data.tofile(out / "data.bin")
+    spk_names = sorted(set(speakers))
+    spk_ids = np.asarray([spk_names.index(s) for s in speakers], np.int32)
+    np.save(out / "speakers.npy", spk_ids)
+    meta = dict(n_signal=n_signal, sample_rate=sample_rate,
+                count=int(data.shape[0]), speakers=spk_names,
+                format="int16_records_v1")
+    (out / "meta.json").write_text(json.dumps(meta))
+    return meta
+
+
+# ----------------------------------------------------------------------
+# transforms (reference rave/dataset.py:325-362, rave/core.py:70-92)
+# ----------------------------------------------------------------------
+
+def random_phase_mangle(x: np.ndarray, rng: np.random.Generator,
+                        min_f: float = 20.0, max_f: float = 2000.0,
+                        amp: float = 0.99, sr: int = 44100) -> np.ndarray:
+    """Random all-pass filter (reference ``random_phase_mangle``,
+    ``rave/core.py:89-92``)."""
+    f = np.exp(rng.uniform(np.log(min_f), np.log(max_f)))
+    omega = 2 * np.pi * f / sr
+    z0 = amp * np.exp(1j * omega)
+    a = [1, -2 * np.real(z0), abs(z0) ** 2]
+    b = [abs(z0) ** 2, -2 * np.real(z0), 1]
+    return lfilter(b, a, x).astype(np.float32)
+
+
+def dequantize(x: np.ndarray, rng: np.random.Generator,
+               bit_depth: int = 16) -> np.ndarray:
+    """16-bit dither (reference ``Dequantize``)."""
+    return (x + rng.uniform(-0.5, 0.5, x.shape).astype(np.float32)
+            / 2 ** (bit_depth - 1)).astype(np.float32)
+
+
+class RandomBackgroundNoise:
+    """Mix pre-decoded noise at random SNR (reference
+    ``rave/dataset.py:65-144``; noise corpus pre-decoded to ``.npy`` by
+    ``scripts/decode.py``)."""
+
+    def __init__(self, noise_dir: str, sr: int,
+                 min_snr_db: float = 3.0, max_snr_db: float = 30.0,
+                 p: float = 0.5):
+        self.files = sorted(Path(noise_dir).rglob("*.npy")) if noise_dir else []
+        self.sr = sr
+        self.min_snr_db = min_snr_db
+        self.max_snr_db = max_snr_db
+        self.p = p
+
+    def __call__(self, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if not self.files or rng.uniform() > self.p:
+            return x
+        f = self.files[rng.integers(len(self.files))]
+        noise = np.load(f, mmap_mode="r")
+        if len(noise) < len(x):
+            reps = int(np.ceil(len(x) / len(noise)))
+            noise = np.tile(noise, reps)
+        start = rng.integers(0, len(noise) - len(x) + 1)
+        noise = np.asarray(noise[start:start + len(x)], np.float32)
+        snr = rng.uniform(self.min_snr_db, self.max_snr_db)
+        xp = np.mean(x ** 2) + 1e-9
+        np_ = np.mean(noise ** 2) + 1e-9
+        scale = np.sqrt(xp / (np_ * 10 ** (snr / 10)))
+        return (x + scale * noise).astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# datasets
+# ----------------------------------------------------------------------
+
+class AudioDataset:
+    """Fixed-record memmap dataset (reference ``AudioDataset``,
+    ``rave/dataset.py:155-197``)."""
+
+    def __init__(self, db_path: str, n_signal: Optional[int] = None,
+                 phase_mangle_p: float = 0.8, use_dequantize: bool = True,
+                 perturb=None, noise=None, seed: int = 0):
+        self.root = Path(db_path)
+        meta = json.loads((self.root / "meta.json").read_text())
+        self.meta = meta
+        self.record_len = meta["n_signal"]
+        self.sr = meta["sample_rate"]
+        self.count = meta["count"]
+        self.n_signal = n_signal or self.record_len
+        self.data = np.memmap(self.root / "data.bin", dtype="<i2", mode="r",
+                              shape=(self.count, self.record_len))
+        spk = self.root / "speakers.npy"
+        self.speakers = np.load(spk) if spk.exists() else \
+            np.zeros(self.count, np.int32)
+        self.speaker_names = meta.get("speakers", ["0"])
+        self.phase_mangle_p = phase_mangle_p
+        self.use_dequantize = use_dequantize
+        self.perturb = perturb
+        self.noise = noise
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.count
+
+    def __getitem__(self, i: int):
+        rng = self._rng
+        x = self.data[i].astype(np.float32) / 32768.0
+        # random crop to n_signal (reference RandomCrop)
+        if self.n_signal < self.record_len:
+            start = rng.integers(0, self.record_len - self.n_signal + 1)
+            x = x[start:start + self.n_signal]
+        if self.phase_mangle_p > 0 and rng.uniform() < self.phase_mangle_p:
+            x = random_phase_mangle(x, rng, sr=self.sr)
+        if self.use_dequantize:
+            x = dequantize(x, rng)
+        xp = x
+        if self.perturb is not None:
+            xp = self.perturb(x.copy(), rng)
+        if self.noise is not None:
+            xp = self.noise(xp, rng)
+        return dict(x=x.astype(np.float32), x_perturbed=xp.astype(np.float32),
+                    speaker=np.int32(self.speakers[i]))
+
+
+class LazyAudioDataset:
+    """Per-item decode of raw files (reference ``LazyAudioDataset``,
+    ``rave/dataset.py:200-289``): index = cumulative chunk map over file
+    durations; items decode on demand."""
+
+    def __init__(self, audio_root: str, n_signal: int, sr: int,
+                 perturb=None, noise=None, seed: int = 0):
+        self.files = search_for_audios(audio_root)
+        self.n_signal = n_signal
+        self.sr = sr
+        self.perturb = perturb
+        self.noise = noise
+        self._rng = np.random.default_rng(seed)
+        self._index = []
+        self.speaker_names = sorted({f.parent.name for f in self.files})
+        for f in self.files:
+            try:
+                x = load_audio(str(f), sr)
+            except Exception:
+                continue
+            n_chunks = len(x) // n_signal
+            for c in range(n_chunks):
+                self._index.append((f, c))
+        self._cache: dict = {}
+
+    def __len__(self):
+        return len(self._index)
+
+    def __getitem__(self, i: int):
+        f, c = self._index[i]
+        if f not in self._cache:
+            if len(self._cache) > 4:
+                self._cache.clear()
+            self._cache[f] = load_audio(str(f), self.sr)
+        x = self._cache[f][c * self.n_signal:(c + 1) * self.n_signal].copy()
+        xp = x
+        if self.perturb is not None:
+            xp = self.perturb(x.copy(), self._rng)
+        if self.noise is not None:
+            xp = self.noise(xp, self._rng)
+        spk = self.speaker_names.index(f.parent.name)
+        return dict(x=x.astype(np.float32), x_perturbed=xp.astype(np.float32),
+                    speaker=np.int32(spk))
+
+
+def split_dataset(n: int, percent: float = 98.0, max_residual: int = 1000,
+                  seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """98/2 split with capped validation set (reference
+    ``rave/dataset.py:366-379``)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_val = min(int(n * (100 - percent) / 100), max_residual)
+    n_val = max(n_val, 1) if n > 1 else 0
+    return perm[n_val:], perm[:n_val]
+
+
+# ----------------------------------------------------------------------
+# batching
+# ----------------------------------------------------------------------
+
+class DataLoader:
+    """Thread-prefetched batch iterator producing numpy batches.
+
+    Host-side (CPU) work -- decode, perturbation, augmentation -- overlaps
+    with device compute via a bounded queue (the reference leans on torch
+    DataLoader workers, ``scripts/train.py:143-149``)."""
+
+    def __init__(self, dataset, batch_size: int, indices=None,
+                 shuffle: bool = True, seed: int = 0, prefetch: int = 4,
+                 drop_last: bool = True):
+        self.ds = dataset
+        self.bs = batch_size
+        self.indices = np.asarray(indices if indices is not None
+                                  else np.arange(len(dataset)))
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def _epoch_batches(self) -> Iterator[dict]:
+        idx = self.indices.copy()
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        stop = len(idx) - len(idx) % self.bs if self.drop_last else len(idx)
+        for i in range(0, stop, self.bs):
+            items = [self.ds[int(j)] for j in idx[i:i + self.bs]]
+            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            batch["x"] = batch["x"][..., None]          # (B, T, 1)
+            if "x_perturbed" in batch:
+                batch["x_perturbed"] = batch["x_perturbed"][..., None]
+            yield batch
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            for b in self._epoch_batches():
+                q.put(b)
+            q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is SENTINEL:
+                break
+            yield b
+
+    def __len__(self):
+        return len(self.indices) // self.bs

@@ -1,0 +1,207 @@
+"""Streaming export + realtime chunked inference.
+
+Counterpart of reference L6 (``scripts/export.py``): the model is rebuilt
+in streaming mode (conv caches in the ``"cache"`` collection -- the
+reference flips the global ``cc.use_cached_conv(True)`` before build,
+``export.py:543``), trained offline params are loaded unchanged, and the
+per-block step functions are jitted / AOT-serialised:
+
+* ``encode_step(cache, x_chunk) -> (z, cache)``
+* ``decode_step(cache, z) -> (y_chunk, cache)``
+* ``forward_step(cache, x_chunk) -> (y_chunk, cache)``
+
+Per-block latency == the statically-known ``total_delay`` (the
+reference's ``cumulative_delay`` attribute, computed here at build time).
+Artifacts serialise via ``jax.export`` (StableHLO) so any PJRT host --
+including a C++ shim, the nn~ analogue -- can run them.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RAVEConfig
+from ..models.rave import RAVE
+
+
+class StreamingRAVE:
+    """Stateful chunked inference driver around the streaming model."""
+
+    def __init__(self, cfg: RAVEConfig, params, chunk_size: int = 2048,
+                 batch_size: int = 1):
+        if chunk_size % cfg.total_ratio():
+            raise ValueError(
+                f"chunk_size must be a multiple of the total stride "
+                f"{cfg.total_ratio()}, got {chunk_size}")
+        self.cfg = cfg
+        self.chunk = chunk_size
+        self.batch = batch_size
+        self.model = RAVE(cfg=cfg, streaming=True, train_mode=False)
+        self.params = params
+
+        x = jnp.zeros((batch_size, chunk_size, 1), jnp.float32)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "latent": jax.random.PRNGKey(1),
+                "noise": jax.random.PRNGKey(2),
+                "quantizer": jax.random.PRNGKey(3)}
+        variables = self.model.init(rngs, x)
+        self.init_cache = jax.tree.map(jnp.zeros_like,
+                                       variables.get("cache", {}))
+        self.aux_state = {k: v for k, v in variables.items()
+                          if k not in ("params", "cache")}
+
+        def forward(cache, x):
+            out, upd = self.model.apply(
+                {"params": self.params, "cache": cache, **self.aux_state},
+                x, mutable=["cache"],
+                rngs={"latent": jax.random.PRNGKey(4),
+                      "noise": jax.random.PRNGKey(5)})
+            return out, upd["cache"]
+
+        def encode(cache, x):
+            z, upd = self.model.apply(
+                {"params": self.params, "cache": cache, **self.aux_state},
+                x, method=RAVE.encode, mutable=["cache"],
+                rngs={"latent": jax.random.PRNGKey(4)})
+            return z, upd["cache"]
+
+        def decode(cache, z):
+            y, upd = self.model.apply(
+                {"params": self.params, "cache": cache, **self.aux_state},
+                z, method=RAVE.decode, mutable=["cache"],
+                rngs={"noise": jax.random.PRNGKey(5)})
+            return y, upd["cache"]
+
+        self._forward = jax.jit(forward)
+        self._encode = jax.jit(encode)
+        self._decode = jax.jit(decode)
+        self.cache = self.init_cache
+
+    # -- latency ----------------------------------------------------------
+
+    def total_delay_samples(self) -> int:
+        """Static end-to-end streaming delay in audio samples."""
+        cfg = self.cfg
+        model = self.model
+        # PQMF analysis + synthesis delay (frames at band rate) plus
+        # encoder+decoder delay (band frames), converted to samples.
+        from ..ops.pqmf import PQMF
+        from ..ops.conv import StreamSetup
+        ss = StreamSetup(mode="causal" if cfg.causal else "centered",
+                         streaming=True)
+        pq = PQMF(attenuation=cfg.pqmf_attenuation, n_band=cfg.n_band, ss=ss)
+        d_bands = pq.delay_frames + pq.inverse_delay_frames
+        # encoder delay at latent rate * ratio product back to band frames
+        enc_ratio = 1
+        for r in cfg.ratios:
+            enc_ratio *= r
+        from ..models.blocks import EncoderV2, GeneratorV2
+        if cfg.encoder_version == "v2":
+            enc = EncoderV2(data_size=cfg.effective_encoder_data_size(),
+                            capacity=cfg.capacity, ratios=cfg.ratios,
+                            latent_size=cfg.latent_size, n_out=1,
+                            kernel_size=cfg.kernel_size,
+                            dilations=cfg.dilations, ss=ss)
+            enc_d = enc.out_delay * enc_ratio
+        else:
+            enc_d = 0
+        if cfg.generator_version == "v2":
+            dec = GeneratorV2(data_size=cfg.n_band, capacity=cfg.capacity,
+                              ratios=cfg.ratios,
+                              latent_size=cfg.decoder_latent_size(),
+                              kernel_size=cfg.kernel_size,
+                              dilations=cfg.dilations, ss=ss)
+            dec_d = dec.out_delay
+        else:
+            dec_d = 0
+        return (d_bands + enc_d + dec_d) * cfg.n_band
+
+    # -- stateful API (nn~-style) ----------------------------------------
+
+    def reset(self):
+        self.cache = self.init_cache
+
+    def forward(self, x_chunk: np.ndarray) -> np.ndarray:
+        y, self.cache = self._forward(self.cache, jnp.asarray(x_chunk))
+        return np.asarray(y)
+
+    def encode(self, x_chunk: np.ndarray) -> np.ndarray:
+        z, self.cache = self._encode(self.cache, jnp.asarray(x_chunk))
+        return np.asarray(z)
+
+    def decode(self, z: np.ndarray) -> np.ndarray:
+        y, self.cache = self._decode(self.cache, jnp.asarray(z))
+        return np.asarray(y)
+
+    def process_file(self, x: np.ndarray) -> np.ndarray:
+        """Stream a full signal chunk by chunk."""
+        self.reset()
+        T = len(x) - len(x) % self.chunk
+        outs = []
+        for i in range(0, T, self.chunk):
+            chunk = x[i:i + self.chunk].reshape(1, -1, 1)
+            outs.append(self.forward(chunk)[0, :, 0])
+        return np.concatenate(outs)
+
+    # -- AOT serialisation -----------------------------------------------
+
+    def serialize(self, out_dir: str):
+        """Serialise step functions as StableHLO (jax.export) + params.
+
+        A PJRT-based C++ host (the nn~ analogue) can load these without
+        Python; see ``native/README.md``.
+        """
+        from jax import export as jexport
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+
+        x = jnp.zeros((self.batch, self.chunk, 1), jnp.float32)
+        exp = jexport.export(self._forward)(self.cache, x)
+        (out / "forward.stablehlo").write_bytes(exp.serialize())
+
+        flat, treedef = jax.tree.flatten(self.cache)
+        np.savez(out / "cache_init.npz",
+                 **{f"c{i}": np.asarray(v) for i, v in enumerate(flat)})
+        meta = dict(chunk_size=self.chunk, batch=self.batch,
+                    sampling_rate=self.cfg.sampling_rate,
+                    total_delay_samples=int(self.total_delay_samples()),
+                    latent_size=self.cfg.latent_size,
+                    config=self.cfg.name)
+        (out / "meta.json").write_text(json.dumps(meta, indent=2))
+        return out
+
+
+def load_run(run_dir: str):
+    """Rebuild config + latest params from a training run directory."""
+    import dataclasses
+    from ..config import RAVEConfig, DiscriminatorConfig
+    from ..train.checkpoint import CheckpointManager
+    from ..train.loop import init_state
+
+    run = Path(run_dir)
+    raw = json.loads((run / "config.json").read_text())
+    dc = raw.pop("discriminator", None)
+    cfg = RAVEConfig(**{k: (tuple(v) if isinstance(v, list) else v)
+                        for k, v in raw.items()})
+    if dc:
+        cfg.discriminator = DiscriminatorConfig(
+            **{k: (tuple(v) if isinstance(v, list) else v)
+               for k, v in dc.items()})
+    state = init_state(cfg, jax.random.PRNGKey(0), batch_size=1)
+    ckpt = CheckpointManager(run)
+    state = ckpt.restore(state)
+    return cfg, state
+
+
+def export_main(args) -> None:
+    cfg, state = load_run(args.run)
+    sr = StreamingRAVE(cfg, state.gen_params, chunk_size=args.chunk_size)
+    out = sr.serialize(Path(args.run) / "export")
+    print(f"exported streaming model to {out} "
+          f"(delay {sr.total_delay_samples()} samples)")

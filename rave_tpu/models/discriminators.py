@@ -1,0 +1,556 @@
+"""Discriminator zoo.
+
+Covers every discriminator family in the reference:
+
+* generic ``ConvNet`` 1d/2d + ``MultiScaleDiscriminator`` + spectral
+  variants + RAVE-style ``MultiPeriodDiscriminator`` + ``Combine``
+  (reference ``rave/discriminator.py``),
+* the fork's active UnivNet MRD+MPD pair (``rave/mpd.py``, ``rave/mrd.py``,
+  ``rave/my_discriminator.py``),
+* the MelGAN-style ``StackDiscriminators`` (reference
+  ``rave/blocks.py:965-1020``),
+* the DAC ``DescriptDiscriminator`` (reference
+  ``rave/descript_discriminator.py``).
+
+All are training-time only (no streaming state), layout ``(B, T, C)`` /
+``(B, H, W, C)``, weight-normalised convs, LeakyReLU activations.  Every
+module returns ``list[list[Array]]``: one feature list per
+sub-discriminator, score last -- the convention of the reference
+(``discriminator.py:110-113``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from ..ops.stft import stft
+from ..ops.pqmf import kaiser_filter
+
+
+def _wn_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class WNConv(nn.Module):
+    """Weight-normalised N-d conv (N = len(kernel_size)), NHWC layouts."""
+    features: int
+    kernel_size: Sequence[int]
+    strides: Optional[Sequence[int]] = None
+    padding: Optional[Sequence[tuple]] = None  # [(l, r), ...] per spatial dim
+    groups: int = 1
+    dilation: Optional[Sequence[int]] = None
+    use_bias: bool = True
+    weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        nd = len(self.kernel_size)
+        in_ch = x.shape[-1]
+        kshape = (*self.kernel_size, in_ch // self.groups, self.features)
+        fan_in = in_ch // self.groups * int(np.prod(self.kernel_size))
+        if self.weight_norm:
+            v = self.param("v", _wn_init(fan_in), kshape)
+            g = self.param("g", lambda *_: jnp.sqrt(jnp.sum(
+                jnp.square(v), axis=tuple(range(nd + 1)), keepdims=True)),
+                           (1,) * (nd + 1) + (self.features,))
+            norm = jnp.sqrt(jnp.sum(jnp.square(v),
+                                    axis=tuple(range(nd + 1)),
+                                    keepdims=True) + 1e-12)
+            kernel = v * (g / norm)
+        else:
+            kernel = self.param("kernel", _wn_init(fan_in), kshape)
+
+        dn_spatial = "".join("WH"[: nd]) if nd <= 2 else None
+        spec = ("NWC", "WIO", "NWC") if nd == 1 else ("NHWC", "HWIO", "NHWC")
+        strides = tuple(self.strides or (1,) * nd)
+        padding = self.padding
+        if padding is None:
+            padding = [((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size]
+        y = jax.lax.conv_general_dilated(
+            x.astype(kernel.dtype), kernel,
+            window_strides=strides,
+            padding=list(padding),
+            rhs_dilation=tuple(self.dilation or (1,) * nd),
+            dimension_numbers=spec,
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            y = y + self.param("bias", _wn_init(fan_in), (self.features,))
+        return y
+
+
+def _avg_pool_1d(x: jax.Array, window: int = 2) -> jax.Array:
+    """(B, T, C) average pool, torch ``avg_pool1d`` semantics."""
+    T = x.shape[1] - x.shape[1] % window
+    x = x[:, :T]
+    return x.reshape(x.shape[0], T // window, window, x.shape[2]).mean(2)
+
+
+# ----------------------------------------------------------------------
+# Generic ConvNet ladder (reference rave/discriminator.py:77-113)
+# ----------------------------------------------------------------------
+
+class ConvNet1d(nn.Module):
+    in_size: int = 1
+    out_size: int = 1
+    capacity: int = 64
+    n_layers: int = 4
+    kernel_size: int = 15
+    stride: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        feats = []
+        channels = [self.capacity * 2 ** i for i in range(self.n_layers)]
+        for i in range(self.n_layers):
+            ke = self.kernel_size
+            pad = (ke - self.stride + 1) // 2 if ke > 1 else 0
+            x = WNConv(features=channels[i], kernel_size=(ke,),
+                       strides=(self.stride,), padding=[(pad, pad)])(x)
+            feats.append(x)
+            x = nn.leaky_relu(x, 0.2)
+        x = WNConv(features=self.out_size, kernel_size=(1,))(x)
+        feats.append(x)
+        return feats
+
+
+class ConvNet2d(nn.Module):
+    """2D variant used by the period discriminators (kernel (5, 1))."""
+    in_size: int = 1
+    out_size: int = 1
+    capacity: int = 64
+    n_layers: int = 4
+    kernel_size: Sequence[int] = (5, 1)
+    stride: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        feats = []
+        for i in range(self.n_layers):
+            kh, kw = self.kernel_size
+            pad_h = (kh - self.stride + 1) // 2 if kh > 1 else 0
+            x = WNConv(features=self.capacity * 2 ** i,
+                       kernel_size=(kh, kw),
+                       strides=(self.stride, 1),
+                       padding=[(pad_h, pad_h), (0, 0)])(x)
+            feats.append(x)
+            x = nn.leaky_relu(x, 0.2)
+        x = WNConv(features=self.out_size, kernel_size=(1, 1))(x)
+        feats.append(x)
+        return feats
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """3 ConvNets over an avg-pool pyramid (reference
+    ``discriminator.py:116-136``)."""
+    n_discriminators: int = 3
+    capacity: int = 64
+    n_layers: int = 4
+    kernel_size: int = 15
+    stride: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
+        out = []
+        for i in range(self.n_discriminators):
+            out.append(ConvNet1d(capacity=self.capacity,
+                                 n_layers=self.n_layers,
+                                 kernel_size=self.kernel_size,
+                                 stride=self.stride, name=f"disc{i}")(x))
+            x = _avg_pool_1d(x, 2)
+        return out
+
+
+class EncodecConvNet(nn.Module):
+    """2D conv stack over complex STFT (reference
+    ``discriminator.py:54-74``)."""
+    capacity: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        # x: (B, F, T, 2)
+        feats = []
+        specs = [
+            dict(kernel_size=(9, 3), strides=(1, 1)),
+            dict(kernel_size=(9, 3), strides=(2, 1), dilation=(1, 1)),
+            dict(kernel_size=(9, 3), strides=(2, 1), dilation=(1, 2)),
+            dict(kernel_size=(9, 3), strides=(2, 1), dilation=(1, 4)),
+            dict(kernel_size=(3, 3), strides=(1, 1)),
+        ]
+        for i, s in enumerate(specs):
+            kh, kw = s["kernel_size"]
+            dh, dw = s.get("dilation", (1, 1))
+            ph, pw = (kh - 1) * dh // 2, (kw - 1) * dw // 2
+            x = WNConv(features=self.capacity, kernel_size=(kh, kw),
+                       strides=s["strides"], dilation=(dh, dw),
+                       padding=[(ph, ph), (pw, pw)])(x)
+            x = nn.leaky_relu(x, 0.2)
+            feats.append(x)
+        x = WNConv(features=1, kernel_size=(3, 3),
+                   padding=[(1, 1), (1, 1)])(x)
+        feats.append(x)
+        return feats
+
+
+class MultiScaleSpectralDiscriminator(nn.Module):
+    """EncodecConvNets over multiple STFT scales (reference
+    ``discriminator.py:139-155``)."""
+    scales: Sequence[int] = (4096, 2048, 1024, 512, 256)
+    capacity: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
+        # x: (B, T, 1) audio
+        sig = x[..., 0]
+        out = []
+        for i, scale in enumerate(self.scales):
+            s = stft(sig, scale, scale // 4, center=False, normalized=True)
+            # (B, frames, bins) complex -> (B, bins, frames, 2)
+            z = jnp.stack([s.real, s.imag], -1).transpose(0, 2, 1, 3)
+            out.append(EncodecConvNet(capacity=self.capacity,
+                                      name=f"spec{i}")(z))
+        return out
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """RAVE-style period discriminator (reference
+    ``discriminator.py:173-194``): fold time into (T/p, p), shared 2D
+    ConvNet."""
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    capacity: int = 64
+    n_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
+        out = []
+        for i, p in enumerate(self.periods):
+            B, T, C = x.shape
+            pad = (p - T % p) % p
+            z = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            z = z.reshape(B, -1, p, C)  # (B, T/p, p, C)
+            out.append(ConvNet2d(capacity=self.capacity,
+                                 n_layers=self.n_layers,
+                                 name=f"period{i}")(z))
+        return out
+
+
+# ----------------------------------------------------------------------
+# UnivNet MPD / MRD -- the fork's active pair (rave/mpd.py, rave/mrd.py)
+# ----------------------------------------------------------------------
+
+class UnivNetPeriodDiscriminator(nn.Module):
+    """Reference ``DiscriminatorP`` (``rave/mpd.py:6-56``)."""
+    period: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        B, T, C = x.shape
+        p = self.period
+        if T % p:
+            pad = p - T % p
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+            T += pad
+        z = x.reshape(B, T // p, p, C)
+        feats = []
+        chans = [64, 128, 256, 512]
+        for i, ch in enumerate(chans):
+            z = WNConv(features=ch, kernel_size=(5, 1), strides=(3, 1),
+                       padding=[(2, 2), (0, 0)])(z)
+            z = nn.leaky_relu(z, 0.2)
+            feats.append(z)
+        z = WNConv(features=1024, kernel_size=(5, 1), strides=(1, 1),
+                   padding=[(2, 2), (0, 0)])(z)
+        z = nn.leaky_relu(z, 0.2)
+        feats.append(z)
+        z = WNConv(features=1, kernel_size=(3, 1), padding=[(1, 1), (0, 0)])(z)
+        feats.append(z)
+        return feats
+
+
+class UnivNetResolutionDiscriminator(nn.Module):
+    """Reference ``DiscriminatorR`` (``rave/mrd.py:8-88``).
+
+    ``resolution`` is (hop_ms, win_ms); the reference hard-codes
+    ``sampling_rate = 16000`` for the ms->samples conversion even though
+    the fork feeds 44.1 kHz audio (``rave/mrd.py:14``) -- kept for parity.
+    """
+    resolution: tuple
+    sampling_rate: int = 16000
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        hop_ms, win_ms = self.resolution
+        hop = int(0.001 * hop_ms * self.sampling_rate)
+        win = int(0.001 * win_ms * self.sampling_rate)
+        n_fft = int(2 ** (int(math.log2(win)) + 1))
+
+        sig = x[..., 0]
+        pad = (n_fft - hop) // 2
+        sig = jnp.pad(sig, ((0, 0), (pad, pad)), mode="reflect")
+        s = stft(sig, n_fft, hop, win_length=win, center=False)
+        mag = jnp.abs(s)  # (B, frames, bins)
+        z = mag[..., None]  # (B, T', F, 1)
+
+        feats = []
+        for i in range(4):
+            stride = (1, 1) if i == 0 else (1, 2)
+            z = WNConv(features=32, kernel_size=(3, 9), strides=stride,
+                       padding=[(1, 1), (4, 4)])(z)
+            z = nn.leaky_relu(z, 0.2)
+            feats.append(z)
+        z = WNConv(features=32, kernel_size=(3, 3),
+                   padding=[(1, 1), (1, 1)])(z)
+        z = nn.leaky_relu(z, 0.2)
+        feats.append(z)
+        z = WNConv(features=1, kernel_size=(3, 3), padding=[(1, 1), (1, 1)])(z)
+        feats.append(z)
+        return feats
+
+
+class UnivNetDiscriminator(nn.Module):
+    """MRD + MPD pair (reference ``NewDiscriminator``,
+    ``rave/my_discriminator.py:7-14``).  Returns (fmap, score) style lists:
+    one feature list per sub-discriminator, score last."""
+    resolutions: Sequence[tuple] = ((5, 25), (10, 50), (2, 10))
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
+        out = []
+        for i, res in enumerate(self.resolutions):
+            out.append(UnivNetResolutionDiscriminator(
+                resolution=tuple(res), name=f"mrd{i}")(x))
+        for i, p in enumerate(self.periods):
+            out.append(UnivNetPeriodDiscriminator(period=p,
+                                                  name=f"mpd{i}")(x))
+        return out
+
+
+# ----------------------------------------------------------------------
+# MelGAN stack (reference rave/blocks.py:965-1020)
+# ----------------------------------------------------------------------
+
+class MelGANDiscriminator(nn.Module):
+    """Reference ``Discriminator`` (``rave/blocks.py:965-1006``)."""
+    capacity: int = 16
+    multiplier: int = 4
+    n_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        feats = []
+        x = WNConv(features=self.capacity, kernel_size=(15,),
+                   padding=[(7, 7)])(x)
+        feats.append(x)
+        x = nn.leaky_relu(x, 0.2)
+        for i in range(self.n_layers):
+            out_ch = min(1024, self.capacity * self.multiplier ** (i + 1))
+            pad = (41 - self.multiplier + 1) // 2
+            x = WNConv(features=out_ch, kernel_size=(41,),
+                       strides=(self.multiplier,), padding=[(pad, pad)],
+                       groups=self.multiplier ** (i + 1))(x)
+            feats.append(x)
+            x = nn.leaky_relu(x, 0.2)
+        ch = x.shape[-1]
+        x = WNConv(features=ch, kernel_size=(5,), padding=[(2, 2)])(x)
+        feats.append(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = WNConv(features=1, kernel_size=(1,))(x)
+        feats.append(x)
+        return feats
+
+
+class StackDiscriminators(nn.Module):
+    """3 MelGAN discriminators over an avg-pool pyramid (reference
+    ``rave/blocks.py:1009-1020``; instantiated at ``rave/model.py:183-189``
+    with capacity 16, multiplier 4, 4 layers)."""
+    n_dis: int = 3
+    capacity: int = 16
+    multiplier: int = 4
+    n_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
+        out = []
+        for i in range(self.n_dis):
+            out.append(MelGANDiscriminator(
+                capacity=self.capacity, multiplier=self.multiplier,
+                n_layers=self.n_layers, name=f"stack{i}")(x))
+            x = _avg_pool_1d(x, 2)
+        return out
+
+
+# ----------------------------------------------------------------------
+# Descript (DAC) discriminator (reference rave/descript_discriminator.py)
+# ----------------------------------------------------------------------
+
+DESCRIPT_BANDS = ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0))
+
+
+class DescriptMPD(nn.Module):
+    """Reference ``MPD`` (``descript_discriminator.py:30-66``)."""
+    period: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        B, T, C = x.shape
+        p = self.period
+        pad = (p - T % p) % p
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+        z = x.reshape(B, -1, p, C)
+        feats = []
+        for ch in (32, 128, 512, 1024):
+            z = WNConv(features=ch, kernel_size=(5, 1), strides=(3, 1),
+                       padding=[(2, 2), (0, 0)])(z)
+            z = nn.leaky_relu(z, 0.1)
+            feats.append(z)
+        z = WNConv(features=1024, kernel_size=(5, 1),
+                   padding=[(2, 2), (0, 0)])(z)
+        z = nn.leaky_relu(z, 0.1)
+        feats.append(z)
+        z = WNConv(features=1, kernel_size=(3, 1), padding=[(1, 1), (0, 0)])(z)
+        feats.append(z)
+        return feats
+
+
+class DescriptMSD(nn.Module):
+    """Reference ``MSD`` (``descript_discriminator.py:69-112``): kaiser
+    anti-aliased downsample + grouped conv ladder."""
+    scale: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        if self.scale != 1:
+            filt = kaiser_filter(np.pi / self.scale, 140)
+            if not len(filt) % 2:
+                filt = np.pad(filt, (1, 0))
+            w = jnp.asarray(filt, x.dtype).reshape(-1, 1, 1)
+            pad = len(filt) // 2
+            x = jax.lax.conv_general_dilated(
+                x, w, window_strides=(self.scale,), padding=[(pad, pad)],
+                dimension_numbers=("NWC", "WIO", "NWC"))
+        feats = []
+        specs = [(16, 15, 1, 1), (64, 41, 4, 4), (256, 41, 4, 16),
+                 (1024, 41, 4, 64), (1024, 41, 4, 256), (1024, 5, 1, 1)]
+        for ch, k, s, g in specs:
+            x = WNConv(features=ch, kernel_size=(k,), strides=(s,),
+                       padding=[(k // 2, k // 2)], groups=g)(x)
+            x = nn.leaky_relu(x, 0.1)
+            feats.append(x)
+        x = WNConv(features=1, kernel_size=(3,), padding=[(1, 1)])(x)
+        feats.append(x)
+        return feats
+
+
+class DescriptMRD(nn.Module):
+    """Reference ``MRD`` (``descript_discriminator.py:118-183``):
+    band-split complex STFT + per-band 2D conv stacks."""
+    window_length: int
+    hop_factor: float = 0.25
+    bands: Sequence[tuple] = DESCRIPT_BANDS
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        sig = x[..., 0]
+        s = stft(sig, self.window_length,
+                 int(self.hop_factor * self.window_length))
+        # (B, T', F) complex -> (B, T', F, 2)
+        z = jnp.stack([s.real, s.imag], -1)
+        n_fft = self.window_length // 2 + 1
+        bands = [(int(b0 * n_fft), int(b1 * n_fft)) for b0, b1 in self.bands]
+
+        feats = []
+        outs = []
+        for bi, (b0, b1) in enumerate(bands):
+            band = z[:, :, b0:b1, :]
+            for li, (k, st) in enumerate([((3, 9), (1, 1)), ((3, 9), (1, 2)),
+                                          ((3, 9), (1, 2)), ((3, 9), (1, 2)),
+                                          ((3, 3), (1, 1))]):
+                ph, pw = (k[0] - 1) // 2, (k[1] - 1) // 2
+                band = WNConv(features=32, kernel_size=k, strides=st,
+                              padding=[(ph, ph), (pw, pw)],
+                              name=f"band{bi}_conv{li}")(band)
+                band = nn.leaky_relu(band, 0.1)
+                feats.append(band)
+            outs.append(band)
+        z = jnp.concatenate(outs, axis=2)
+        z = WNConv(features=1, kernel_size=(3, 3),
+                   padding=[(1, 1), (1, 1)], name="post")(z)
+        feats.append(z)
+        return feats
+
+
+class DescriptDiscriminator(nn.Module):
+    """Reference ``DescriptDiscriminator``
+    (``descript_discriminator.py:186-215``)."""
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    rates: Sequence[int] = ()
+    fft_sizes: Sequence[int] = (2048, 1024, 512)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
+        # DC removal + peak normalisation (descript_discriminator.py:205-210)
+        x = x - jnp.mean(x, axis=1, keepdims=True)
+        x = 0.8 * x / (jnp.max(jnp.abs(x), axis=1, keepdims=True) + 1e-9)
+        out = []
+        for i, p in enumerate(self.periods):
+            out.append(DescriptMPD(period=p, name=f"mpd{i}")(x))
+        for i, r in enumerate(self.rates):
+            out.append(DescriptMSD(scale=r, name=f"msd{i}")(x))
+        for i, f in enumerate(self.fft_sizes):
+            out.append(DescriptMRD(window_length=f, name=f"mrd{i}")(x))
+        return out
+
+
+class CombineDiscriminators(nn.Module):
+    """Concatenate sub-discriminator outputs (reference
+    ``discriminator.py:197-208``).  ``members`` picks from the registry;
+    the v2 config combines MPD + MSD + MS-spectral
+    (``configs/v2.gin:86-91``)."""
+    members: Sequence[str] = ("periods", "scales", "spectral")
+    capacity: int = 64
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
+        out = []
+        for m in self.members:
+            if m == "periods":
+                out.extend(MultiPeriodDiscriminator(name="mpd")(x))
+            elif m == "scales":
+                out.extend(MultiScaleDiscriminator(capacity=self.capacity,
+                                                   name="msd")(x))
+            elif m == "spectral":
+                out.extend(MultiScaleSpectralDiscriminator(name="msspec")(x))
+            elif m == "univnet":
+                out.extend(UnivNetDiscriminator(name="univnet")(x))
+            elif m == "melgan_stack":
+                out.extend(StackDiscriminators(name="stack")(x))
+            elif m == "descript":
+                out.extend(DescriptDiscriminator(name="descript")(x))
+            else:
+                raise ValueError(f"unknown discriminator member {m!r}")
+        return out
+
+
+DISCRIMINATORS = {
+    "multi_scale": MultiScaleDiscriminator,
+    "multi_period": MultiPeriodDiscriminator,
+    "spectral": MultiScaleSpectralDiscriminator,
+    "univnet": UnivNetDiscriminator,
+    "melgan_stack": StackDiscriminators,
+    "descript": DescriptDiscriminator,
+    "combine": CombineDiscriminators,
+}

@@ -1,0 +1,137 @@
+"""Latent regularisation heads: variational / wasserstein / spherical /
+discrete (reference ``rave/blocks.py:713-842``).
+
+Each head wraps an encoder trunk and exposes ``reparametrize(z, rng)``
+returning ``(z, reg)``.  They are thin linen modules so their parameters
+live under the encoder optimizer group, like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .quantization import ResidualVectorQuantization
+
+
+class VariationalHead(nn.Module):
+    """Reparametrised Gaussian + closed-form KL
+    (reference ``VariationalEncoder``, ``rave/blocks.py:713-740``).
+    Input z: (B, T, 2*latent) -> (B, T, latent)."""
+
+    @nn.compact
+    def __call__(self, z: jax.Array, rng: Optional[jax.Array] = None):
+        mean, scale = jnp.split(z, 2, axis=-1)
+        std = jax.nn.softplus(scale) + 1e-4
+        var = std * std
+        logvar = jnp.log(var)
+        if rng is None:
+            rng = self.make_rng("latent")
+        eps = jax.random.normal(rng, mean.shape, mean.dtype)
+        zs = mean + eps * std
+        kl = jnp.mean(jnp.sum(mean * mean + var - logvar - 1, axis=-1))
+        return zs, kl
+
+    @staticmethod
+    def mean_scale(z: jax.Array):
+        return jnp.split(z, 2, axis=-1)
+
+    @staticmethod
+    def num_out() -> int:
+        return 2
+
+
+class WassersteinHead(nn.Module):
+    """RBF-kernel MMD to N(0, I) (reference ``WasserteinEncoder``,
+    ``rave/blocks.py:743-785``)."""
+    noise_augmentation: int = 0
+
+    @staticmethod
+    def _mean_kernel(x, y):
+        d = jnp.mean((x[:, None] - y[None]) ** 2, axis=2) / x.shape[-1]
+        return jnp.mean(jnp.exp(-d))
+
+    @nn.compact
+    def __call__(self, z: jax.Array, rng: Optional[jax.Array] = None):
+        B, T, C = z.shape
+        flat = z.reshape(-1, C)
+        if rng is None:
+            rng = self.make_rng("latent")
+        r1, r2 = jax.random.split(rng)
+        ref = jax.random.normal(r1, flat.shape, flat.dtype)
+        mmd = (self._mean_kernel(flat, flat) + self._mean_kernel(ref, ref)
+               - 2 * self._mean_kernel(flat, ref))
+        if self.noise_augmentation:
+            noise = jax.random.normal(r2, (B, T, self.noise_augmentation),
+                                      z.dtype)
+            z = jnp.concatenate([z, noise], axis=-1)
+        return z, mmd
+
+    @staticmethod
+    def num_out() -> int:
+        return 1
+
+
+class SphericalHead(nn.Module):
+    """L2-normalised latent, zero regulariser (reference
+    ``SphericalEncoder``, ``rave/blocks.py:826-842``)."""
+
+    @nn.compact
+    def __call__(self, z: jax.Array, rng: Optional[jax.Array] = None):
+        norm = jnp.linalg.norm(z, axis=-1, keepdims=True)
+        return z / (norm + 1e-12), jnp.float32(0.0)
+
+    @staticmethod
+    def num_out() -> int:
+        return 1
+
+
+class DiscreteHead(nn.Module):
+    """Residual VQ head (reference ``DiscreteEncoder``,
+    ``rave/blocks.py:788-823``).  ``enabled`` gating (QuantizeCallback)
+    is a traced scalar carried by the train state."""
+    num_quantizers: int
+    latent_size: int
+    codebook_size: int = 1024
+    noise_augmentation: int = 0
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        self.rvq = ResidualVectorQuantization(
+            num_quantizers=self.num_quantizers, dim=self.latent_size,
+            codebook_size=self.codebook_size, axis_name=self.axis_name)
+
+    def __call__(self, z: jax.Array, rng: Optional[jax.Array] = None,
+                 train: bool = False, enabled=True):
+        zq, diff, _ = self.rvq(z, train=train)
+        gate = jnp.asarray(enabled, z.dtype)
+        z = gate * zq + (1 - gate) * z
+        diff = gate * diff
+        if self.noise_augmentation:
+            if rng is None:
+                rng = self.make_rng("latent")
+            noise = jax.random.normal(
+                rng, (*z.shape[:2], self.noise_augmentation), z.dtype)
+            z = jnp.concatenate([z, noise], axis=-1)
+        return z, diff
+
+    def encode(self, z: jax.Array) -> jax.Array:
+        return self.rvq.encode(z)
+
+    def decode(self, idx: jax.Array) -> jax.Array:
+        return self.rvq.decode(idx)
+
+    @staticmethod
+    def num_out() -> int:
+        return 1
+
+
+LATENT_HEADS = {
+    "variational": VariationalHead,
+    "wasserstein": WassersteinHead,
+    "spherical": SphericalHead,
+    "discrete": DiscreteHead,
+}

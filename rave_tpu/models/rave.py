@@ -1,0 +1,220 @@
+"""RAVE model assembly: PQMF + encoder + latent head + generator.
+
+TPU-native counterpart of reference ``rave/model.py:127-247`` (the
+LightningModule's *model* half -- the training step lives in
+:mod:`rave_tpu.train.loop` as a pure jitted function).  The module is
+config-driven (see :class:`rave_tpu.config.RAVEConfig`) and builds either
+architecture generation (v1/v2), any latent head, optional speaker
+conditioning (the voice-conversion fork) and optional AdaIN/Snake/noise.
+
+The same module definition serves offline training and streaming
+inference: pass ``streaming=True`` to carry conv caches in the ``"cache"``
+collection (reference flips a global ``cc.use_cached_conv`` before build,
+``scripts/export.py:543``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import RAVEConfig
+from ..ops.conv import StreamSetup
+from ..ops.pqmf import PQMF
+from .blocks import EncoderV1, EncoderV2, GeneratorV1, GeneratorV2
+from .latent import (DiscreteHead, SphericalHead, VariationalHead,
+                     WassersteinHead)
+from .speaker import SpeakerRAVE
+
+
+class CrossEntropyProjection(nn.Module):
+    """Latent -> HuBERT discrete-unit logits (reference
+    ``rave/model.py:113-123``): LayerNorm over time, 1x1 conv to
+    ``units`` classes, linear-interp to ``target_frames``."""
+    units: int = 100
+    target_frames: int = 148
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        # z: (B, T, C). Reference LayerNorm(256) normalises the *time* dim
+        # of the (B, C, T) tensor; we mirror that (normalise over T).
+        zt = z.transpose(0, 2, 1)  # (B, C, T)
+        zt = nn.LayerNorm(reduction_axes=-1)(zt)
+        z = zt.transpose(0, 2, 1)
+        logits = nn.Dense(self.units)(z)  # 1x1 conv over time == dense
+        # F.interpolate(.., target_frames) on (B, units, T): nearest? the
+        # reference uses default mode='nearest'
+        B, T, U = logits.shape
+        idx = jnp.clip((jnp.arange(self.target_frames) * T)
+                       // self.target_frames, 0, T - 1)
+        return logits[:, idx, :]  # (B, target_frames, units)
+
+
+class RAVE(nn.Module):
+    cfg: RAVEConfig
+    streaming: bool = False
+    train_mode: bool = True
+
+    @property
+    def ss(self) -> StreamSetup:
+        return StreamSetup(mode="causal" if self.cfg.causal else "centered",
+                           streaming=self.streaming)
+
+    # ---------------- submodule builders (setup) ----------------------
+
+    def setup(self):
+        cfg = self.cfg
+        ss = self.ss
+        if cfg.n_band > 1:
+            self.pqmf = PQMF(attenuation=cfg.pqmf_attenuation,
+                             n_band=cfg.n_band, ss=ss)
+        else:
+            self.pqmf = None
+
+        n_out = 2 if cfg.latent_head == "variational" else 1
+        data_size = cfg.effective_encoder_data_size()
+
+        if cfg.encoder_version == "v2":
+            self.encoder = EncoderV2(
+                data_size=data_size, capacity=cfg.capacity,
+                ratios=cfg.ratios, latent_size=cfg.latent_size,
+                n_out=n_out, kernel_size=cfg.kernel_size,
+                dilations=cfg.dilations, keep_dim=cfg.keep_dim,
+                activation=cfg.activation, weight_norm=cfg.weight_norm,
+                adain=cfg.adain, train_mode=self.train_mode, ss=ss)
+        else:
+            self.encoder = EncoderV1(
+                data_size=data_size, capacity=cfg.capacity,
+                latent_size=cfg.latent_size, ratios=cfg.ratios,
+                n_out=n_out, sample_norm=cfg.v1_sample_norm,
+                repeat_layers=cfg.v1_repeat_layers,
+                train_mode=self.train_mode, ss=ss)
+
+        head = cfg.latent_head
+        if head == "variational":
+            self.latent = VariationalHead()
+        elif head == "wasserstein":
+            self.latent = WassersteinHead(
+                noise_augmentation=cfg.noise_augmentation)
+        elif head == "spherical":
+            self.latent = SphericalHead()
+        elif head == "discrete":
+            self.latent = DiscreteHead(
+                num_quantizers=cfg.num_quantizers,
+                latent_size=cfg.latent_size,
+                codebook_size=cfg.codebook_size,
+                noise_augmentation=cfg.noise_augmentation)
+        else:
+            raise ValueError(f"unknown latent head {head!r}")
+
+        dec_latent = cfg.decoder_latent_size()
+        if cfg.generator_version == "v2":
+            self.decoder = GeneratorV2(
+                data_size=cfg.n_band, capacity=cfg.capacity,
+                ratios=cfg.ratios, latent_size=dec_latent,
+                kernel_size=cfg.kernel_size, dilations=cfg.dilations,
+                keep_dim=cfg.keep_dim,
+                amplitude_modulation=cfg.amplitude_modulation,
+                use_noise=cfg.use_noise, noise_ratios=cfg.noise_ratios,
+                noise_bands=cfg.noise_bands, activation=cfg.activation,
+                weight_norm=cfg.weight_norm, adain=cfg.adain,
+                train_mode=self.train_mode, ss=ss)
+        else:
+            self.decoder = GeneratorV1(
+                latent_size=dec_latent, capacity=cfg.capacity,
+                data_size=cfg.n_band, ratios=cfg.ratios,
+                loud_stride=cfg.v1_loud_stride, use_noise=cfg.v1_use_noise,
+                kernel_sizes=cfg.v1_kernel_sizes,
+                dilations_list=cfg.v1_dilations_list,
+                activation=cfg.activation, weight_norm=cfg.weight_norm,
+                ss=ss)
+
+        if cfg.speaker_embedding_size > 0:
+            self.speaker_encoder = SpeakerRAVE()
+        else:
+            self.speaker_encoder = None
+
+        if cfg.hubert_units > 0:
+            self.ce_projection = CrossEntropyProjection(units=cfg.hubert_units)
+        else:
+            self.ce_projection = None
+
+    # ---------------- functional pieces --------------------------------
+
+    def pqmf_forward(self, x: jax.Array) -> jax.Array:
+        """Audio (B, T, 1) -> bands (B, T/M, M)."""
+        return self.pqmf(x) if self.pqmf is not None else x
+
+    def pqmf_inverse(self, y: jax.Array) -> jax.Array:
+        return self.pqmf.inverse(y) if self.pqmf is not None else y
+
+    def encode_bands(self, bands: jax.Array) -> jax.Array:
+        """Bands -> pre-regularisation latent (B, T', latent * n_out)."""
+        ds = self.cfg.effective_encoder_data_size()
+        return self.encoder(bands[..., :ds])
+
+    def speaker_embedding(self, bands: jax.Array) -> jax.Array:
+        """Frozen speaker embedding (B, 256) (reference model.py:351-353
+        computes it under no_grad)."""
+        emb = self.speaker_encoder(bands)
+        return jax.lax.stop_gradient(emb)
+
+    def reparametrize(self, z, rng=None, train: bool = False, enabled=True):
+        if isinstance(self.latent, DiscreteHead):
+            return self.latent(z, rng, train=train, enabled=enabled)
+        return self.latent(z, rng)
+
+    def project_units(self, z: jax.Array) -> jax.Array:
+        return self.ce_projection(z)
+
+    def decode_bands(self, z: jax.Array,
+                     rng: Optional[jax.Array] = None,
+                     warmed_up=True) -> jax.Array:
+        if isinstance(self.decoder, GeneratorV1):
+            return self.decoder(z, rng, warmed_up=warmed_up)
+        return self.decoder(z, rng)
+
+    # ---------------- inference API ------------------------------------
+
+    def encode(self, x: jax.Array, rng: Optional[jax.Array] = None):
+        """Audio -> sampled/processed latent (reference model.py:594-622)."""
+        bands = self.pqmf_forward(x)
+        z = self.encode_bands(bands)
+        if isinstance(self.latent, VariationalHead):
+            mean, _ = VariationalHead.mean_scale(z)
+            z = mean
+        elif isinstance(self.latent, SphericalHead):
+            z, _ = self.latent(z)
+        elif isinstance(self.latent, DiscreteHead):
+            z, _ = self.latent(z, train=False)
+        if self.speaker_encoder is not None:
+            emb = self.speaker_embedding(bands)
+            emb = jnp.broadcast_to(emb[:, None, :],
+                                   (z.shape[0], z.shape[1], emb.shape[-1]))
+            z = jnp.concatenate([z, emb], axis=-1)
+        return z
+
+    def decode(self, z: jax.Array, rng: Optional[jax.Array] = None):
+        y = self.decode_bands(z, rng)
+        return self.pqmf_inverse(y)
+
+    def __call__(self, x: jax.Array, rng: Optional[jax.Array] = None):
+        return self.decode(self.encode(x, rng), rng)
+
+    # voice conversion: encode source content, condition on target timbre
+    def convert(self, x: jax.Array, target: jax.Array,
+                rng: Optional[jax.Array] = None):
+        """Reference validation conversion path (model.py:713-731)."""
+        bands = self.pqmf_forward(x)
+        z = self.encode_bands(bands)
+        if isinstance(self.latent, VariationalHead):
+            z, _ = VariationalHead.mean_scale(z)
+        tgt_bands = self.pqmf_forward(target)
+        emb = self.speaker_embedding(tgt_bands)
+        emb = jnp.broadcast_to(emb[:, None, :],
+                               (z.shape[0], z.shape[1], emb.shape[-1]))
+        z = jnp.concatenate([z, emb], axis=-1)
+        return self.decode(z, rng)

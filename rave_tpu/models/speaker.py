@@ -1,0 +1,90 @@
+"""ECAPA-style speaker embedding network.
+
+Reimplements the reference ``SpeakerRAVE`` (``rave/blocks.py:1022-1147``):
+three dilated residual stages (d=1,3,5; strides 4,4,2) over the 16 PQMF
+bands, a 3-way feature concat, attentive statistics pooling and a 256-dim
+linear head.  The reference loads VoxCeleb-pretrained weights
+(``rave/model.py:165-174``; the checkpoint blob is absent from the
+snapshot, ``.MISSING_LARGE_BLOBS``), and freezes the module -- here the
+module is likewise used frozen (``stop_gradient`` at the call site) and
+weights can be loaded from a converted checkpoint when available.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.conv import Conv1d, StreamSetup
+from .blocks import Activation, DilatedUnit, Residual
+
+
+class _Stage(nn.Module):
+    dim: int
+    out_dim: int
+    dilation: int
+    ratio: int
+    kernel_size: int = 3
+    ss: StreamSetup = StreamSetup()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = DilatedUnit(dim=self.dim, kernel_size=self.kernel_size,
+                            dilation=self.dilation, ss=self.ss)
+        x = Residual(inner=inner, inner_delay=inner.out_delay, ss=self.ss)(x)
+        x = Activation("leaky_relu")(x)
+        return Conv1d(features=self.out_dim, kernel_size=2 * self.ratio,
+                      stride=self.ratio, weight_norm=True, ss=self.ss)(x)
+
+
+def _max_pool_1d(x: jax.Array, window: int = 2) -> jax.Array:
+    T = x.shape[1] - x.shape[1] % window
+    x = x[:, :T]
+    return x.reshape(x.shape[0], T // window, window, x.shape[2]).max(2)
+
+
+class SpeakerRAVE(nn.Module):
+    """Input: PQMF bands (B, T/M, 16). Output: (B, 256) embedding."""
+    ss: StreamSetup = StreamSetup()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = Conv1d(features=128, kernel_size=7, weight_norm=True,
+                   ss=self.ss)(x)                      # in_layer
+        x1 = _Stage(dim=128, out_dim=256, dilation=1, ratio=4,
+                    ss=self.ss, name="layer2")(x)
+        x2 = _Stage(dim=256, out_dim=256, dilation=3, ratio=4,
+                    ss=self.ss, name="layer3")(x1)
+        x3 = _Stage(dim=256, out_dim=256, dilation=5, ratio=2,
+                    ss=self.ss, name="layer4")(x2)
+        x2p = _max_pool_1d(x2, 2)
+        # align pooled x2 with x3 (stride books match: x2 at T/16 pooled -> T/32)
+        t = min(x2p.shape[1], x3.shape[1])
+        x2p, x3 = x2p[:, :t], x3[:, :t]
+        x4 = Conv1d(features=256, kernel_size=1, weight_norm=True,
+                    name="cat_layer")(x2p + x3)
+        z = jnp.concatenate([x2p, x3, x4], axis=-1)
+        z = Conv1d(features=768, kernel_size=3, weight_norm=True,
+                   name="out_layer", ss=self.ss)(z)
+        z = nn.leaky_relu(z, 0.2)
+
+        # attentive statistics pooling (reference blocks.py:1102-1143)
+        T = z.shape[1]
+        mean = jnp.mean(z, axis=1, keepdims=True)
+        std = jnp.sqrt(jnp.clip(jnp.var(z, axis=1, keepdims=True), 1e-4, 1e4))
+        glob = jnp.concatenate(
+            [z, jnp.broadcast_to(mean, z.shape),
+             jnp.broadcast_to(std, z.shape)], axis=-1)
+        w = Conv1d(features=128, kernel_size=1, name="attn1")(glob)
+        w = nn.relu(w)
+        w = nn.BatchNorm(use_running_average=True, name="attn_bn")(w)
+        w = Conv1d(features=768, kernel_size=1, name="attn2")(w)
+        w = jax.nn.softmax(w, axis=1)
+
+        mu = jnp.sum(z * w, axis=1)
+        sg = jnp.sqrt(jnp.clip(jnp.sum(z ** 2 * w, axis=1) - mu ** 2,
+                               1e-4, 1e4))
+        e = jnp.concatenate([mu, sg], axis=-1)
+        e = nn.BatchNorm(use_running_average=True, name="bn5")(e)
+        return nn.Dense(256, name="fc6")(e)

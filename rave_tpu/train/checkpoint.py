@@ -1,0 +1,69 @@
+"""Orbax checkpointing of the full train state.
+
+Reference behaviour to match (``scripts/train.py:152-154,219-227`` +
+SURVEY §5.4): keep ``best`` (on the validation distance) and ``last``
+checkpoints; resume restores params, all three optimizer states, the RVQ
+codebooks, and the step counter (schedules are pure functions of the step
+here, so no callback state needs saving).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .loop import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, run_dir: str, keep: int = 3):
+        self.dir = Path(run_dir).absolute() / "checkpoints"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, best_fn=None, create=True),
+        )
+        self._best = np.inf
+        self._best_file = self.dir / "best_metric.json"
+        if self._best_file.exists():
+            self._best = json.loads(self._best_file.read_text())["best"]
+
+    def save(self, state: TrainState, metrics: Optional[dict] = None):
+        step = int(state.step)
+        self.mngr.save(step, args=ocp.args.StandardSave(state))
+        if metrics and "validation" in metrics:
+            v = float(metrics["validation"])
+            if v < self._best:
+                self._best = v
+                self._best_file.write_text(json.dumps(
+                    {"best": v, "step": step}))
+
+    def wait(self):
+        self.mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mngr.latest_step()
+
+    def restore(self, template: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.dir}")
+        return self.mngr.restore(step,
+                                 args=ocp.args.StandardRestore(template))
+
+
+def save_config(run_dir: str, cfg) -> None:
+    """Dump the operative config like the reference writes
+    ``runs/<run>/config.gin`` (``scripts/train.py:224-225``)."""
+    import dataclasses
+    p = Path(run_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    (p / "config.json").write_text(
+        json.dumps(dataclasses.asdict(cfg), indent=2, default=str))

@@ -1,0 +1,130 @@
+"""Training driver: data loading, jitted step, validation, checkpoints.
+
+Counterpart of reference ``scripts/train.py:112-230`` / ``train_rave.py``
+minus Lightning: a plain loop around the single jitted train step, with
+data-parallel sharding over all local devices, metric logging (jsonl +
+optional TensorBoard), EMA weights, and best/last checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("RAVE_TPU_CACHE",
+                                 os.path.expanduser("~/.jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from ..config import build_config
+from ..data.dataset import AudioDataset, DataLoader, split_dataset
+from ..parallel.mesh import (batch_sharding, make_mesh, replicate_state,
+                             replicated)
+from .checkpoint import CheckpointManager, save_config
+from .loop import init_state, make_eval_step, make_train_step
+
+
+class MetricLogger:
+    """jsonl metrics + optional TensorBoard (reference logs to TB + wandb,
+    ``scripts/train.py:205-208``, ``model.py:570-589``)."""
+
+    def __init__(self, run_dir: str):
+        self.path = Path(run_dir) / "metrics.jsonl"
+        self.f = open(self.path, "a")
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # cpu torch
+            self.tb = SummaryWriter(log_dir=str(Path(run_dir) / "tb"))
+        except Exception:
+            self.tb = None
+
+    def log(self, step: int, metrics: dict):
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self.f.write(json.dumps(rec) + "\n")
+        self.f.flush()
+        if self.tb is not None:
+            for k, v in rec.items():
+                if k != "step":
+                    self.tb.add_scalar(k, v, step)
+
+
+def train_main(args) -> None:
+    cfg = build_config(args.config or ["v2"], args.override)
+    if args.batch:
+        cfg.batch_size = args.batch
+    if args.max_steps:
+        cfg.max_steps = args.max_steps
+
+    run_dir = Path(args.out_path) / f"{args.name}_{cfg.hash()}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    save_config(run_dir, cfg)
+    logger = MetricLogger(run_dir)
+
+    ds = AudioDataset(args.db_path, n_signal=cfg.n_signal)
+    train_idx, val_idx = split_dataset(len(ds))
+    train_loader = DataLoader(ds, cfg.batch_size, train_idx, shuffle=True)
+    val_loader = DataLoader(ds, cfg.batch_size, val_idx, shuffle=False)
+
+    mesh = make_mesh()
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(run_dir)
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}")
+    state = replicate_state(state, mesh)
+
+    step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    eval_fn = jax.jit(make_eval_step(cfg))
+    rng = jax.device_put(jax.random.PRNGKey(1), rep)
+
+    def put(batch):
+        return {k: jax.device_put(v, bs if v.ndim else rep)
+                for k, v in batch.items()}
+
+    t0 = time.time()
+    window = 50
+    last = t0
+    done = False
+    while not done:
+        for batch in train_loader:
+            step = int(state.step)
+            if step >= cfg.max_steps:
+                done = True
+                break
+            state, metrics = step_fn(state, put(batch), rng)
+
+            if step % window == 0:
+                jax.block_until_ready(metrics)
+                now = time.time()
+                sps = window / (now - last) if step else 0.0
+                last = now
+                logger.log(step, {**metrics, "steps_per_s": sps})
+                print(f"step {step} "
+                      + " ".join(f"{k}={float(v):.4f}"
+                                 for k, v in metrics.items()))
+
+            if args.val_every and step and step % args.val_every == 0:
+                vals = []
+                for vb in val_loader:
+                    m, _ = eval_fn(state, put(vb), jax.random.PRNGKey(2))
+                    vals.append(float(m["validation"]))
+                v = float(np.mean(vals)) if vals else float("nan")
+                logger.log(step, {"validation": v})
+                ckpt.save(state, {"validation": v})
+
+            if args.ckpt_every and step and step % args.ckpt_every == 0:
+                ckpt.save(state)
+
+    ckpt.save(state)
+    ckpt.wait()
+    print(f"finished at step {int(state.step)} "
+          f"({time.time() - t0:.0f}s)")

@@ -1,0 +1,25 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's CPU-only CI strategy
+(``.github/workflows/python-publish.yml:24-33`` runs plain pytest on CPU)
+while adding the multi-device dimension the reference lacks (SURVEY §4):
+8 virtual JAX CPU devices stand in for a TPU slice.
+"""
+import os
+
+# force CPU: the sandbox exports JAX_PLATFORMS=axon (tunnelled TPU) which
+# must never be used by the test suite (single-tenant, slow remote compile)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: compiles dominate wall-clock on both the
+# tunnelled TPU (remote compile) and CPU CI; cache them across runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("RAVE_TPU_CACHE", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,97 @@
+"""Data pipeline: preprocess -> memmap store -> loader round trip."""
+import numpy as np
+import pytest
+
+from rave_tpu.data.audio_io import load_wav, save_wav
+from rave_tpu.data.dataset import (AudioDataset, DataLoader, preprocess,
+                                   split_dataset)
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("audio")
+    rng = np.random.default_rng(0)
+    for spk in ["spk0", "spk1"]:
+        d = root / spk
+        d.mkdir()
+        for i in range(2):
+            t = np.arange(8192 * 3) / 16000
+            x = 0.4 * np.sin(2 * np.pi * (100 + 50 * i) * t)
+            x += 0.01 * rng.standard_normal(len(x))
+            save_wav(d / f"{i}.wav", x.astype(np.float32), 16000)
+    out = tmp_path_factory.mktemp("db")
+    meta = preprocess(str(root), str(out), n_signal=4096, sample_rate=16000,
+                      num_workers=1)
+    return out, meta
+
+
+def test_wav_round_trip(tmp_path):
+    x = (np.random.default_rng(1).standard_normal(1000) * 0.5).astype(np.float32)
+    save_wav(tmp_path / "t.wav", x, 44100)
+    y, sr = load_wav(tmp_path / "t.wav")
+    assert sr == 44100
+    np.testing.assert_allclose(x, y, atol=1e-4)
+
+
+def test_preprocess_meta(db):
+    out, meta = db
+    assert meta["count"] == 4 * (8192 * 3 // 4096)
+    assert meta["n_signal"] == 4096
+    assert set(meta["speakers"]) == {"spk0", "spk1"}
+
+
+def test_dataset_items(db):
+    out, _ = db
+    ds = AudioDataset(str(out), n_signal=2048)
+    item = ds[0]
+    assert item["x"].shape == (2048,)
+    assert np.abs(item["x"]).max() <= 1.0
+    assert item["speaker"] in (0, 1)
+
+
+def test_loader_batches(db):
+    out, _ = db
+    ds = AudioDataset(str(out))
+    train_idx, val_idx = split_dataset(len(ds))
+    assert len(set(train_idx) & set(val_idx)) == 0
+    dl = DataLoader(ds, batch_size=2, indices=train_idx)
+    batch = next(iter(dl))
+    assert batch["x"].shape == (2, 4096, 1)
+    assert batch["x"].dtype == np.float32
+
+
+def test_split_seeded_determinism():
+    a1, b1 = split_dataset(100)
+    a2, b2 = split_dataset(100)
+    assert (a1 == a2).all() and (b1 == b2).all()
+
+
+def test_perturbation_eq():
+    from rave_tpu.data.perturbation import random_eq
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096).astype(np.float32) * 0.3
+    y = random_eq(x, rng, sr=16000)
+    assert y.shape == x.shape
+    assert np.isfinite(y).all()
+    assert not np.allclose(x, y)
+
+
+def test_formant_shift_native():
+    from rave_tpu.data.perturbation import formant_shift_native
+    rng = np.random.default_rng(0)
+    t = np.arange(8192) / 16000
+    x = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    y = formant_shift_native(x, 16000, 1.2)
+    assert y.shape == x.shape
+    assert np.isfinite(y).all()
+
+
+def test_yin_f0_sine():
+    from rave_tpu.data.pitch import yin_f0
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    f0 = yin_f0(x, sr)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > len(f0) * 0.8
+    assert abs(np.median(voiced) - 220) < 5

@@ -1,0 +1,97 @@
+"""Whole-graph streaming tests: offline model == chunked streaming model
+(up to the static delay), and the realtime host machinery.
+
+This closes the gap the reference leaves (its streaming tests only cover
+individual blocks, ``tests/test_residual.py``; full-graph equivalence is
+implied by nn~ behaviour only).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rave_tpu.config import build_config
+from rave_tpu.export.streaming import StreamingRAVE
+from rave_tpu.models.rave import RAVE
+
+TINY = ["capacity=4", "n_signal=8192", "batch_size=1"]
+
+
+def _rngs():
+    return {"params": jax.random.PRNGKey(0),
+            "latent": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2),
+            "quantizer": jax.random.PRNGKey(3)}
+
+
+@pytest.mark.parametrize("stack", [["v2"], ["v2", "causal"]],
+                         ids=["v2", "v2+causal"])
+def test_full_graph_stream_equiv(stack):
+    """Deterministic path: encode (mean latent) -> decode, offline vs
+    chunked streaming with the same params."""
+    cfg = build_config(stack, TINY)
+    off = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 8192, 1)) * 0.3
+    variables = off.init(_rngs(), x)
+    params = variables["params"]
+
+    y_off = off.apply({"params": params}, x,
+                      rngs={"latent": jax.random.PRNGKey(4)})
+
+    sr = StreamingRAVE(cfg, params, chunk_size=2048)
+    y_str = sr.process_file(np.asarray(x[0, :, 0]))
+
+    d = sr.total_delay_samples()
+    a = np.asarray(y_off[0, :, 0])
+    n = len(a)
+    assert d < n, f"delay {d} >= signal {n}"
+    if d:
+        a_cmp, b_cmp = a[: n - d], y_str[d:]
+    else:
+        a_cmp, b_cmp = a, y_str
+    err = np.abs(a_cmp - b_cmp)
+    # float32 + long conv chains: allow small numeric slack
+    assert np.median(err) < 2e-3, f"median err {np.median(err)}"
+    assert np.max(err) < 5e-2, f"max err {np.max(err)}"
+
+
+def test_native_ring_buffer():
+    from rave_tpu.export.realtime import NativeRing
+    rb = NativeRing(1024)
+    x = np.arange(300, dtype=np.float32)
+    assert rb.write(x) == 300
+    assert rb.readable() == 300
+    got = rb.read(200)
+    np.testing.assert_array_equal(got, x[:200])
+    # wraparound
+    y = np.arange(900, dtype=np.float32)
+    assert rb.write(y) == 900
+    got = rb.read(1000)
+    np.testing.assert_array_equal(got, np.concatenate([x[200:], y]))
+
+
+def test_realtime_host_passthrough():
+    """Host loop with an identity 'model' moves audio through rings."""
+    from rave_tpu.export.realtime import RealtimeHost
+
+    class Identity:
+        def forward(self, x):
+            return x
+
+    host = RealtimeHost(Identity(), chunk=256, ring_seconds=0.5, sr=16000)
+    host.start()
+    x = np.random.default_rng(0).standard_normal(1024).astype(np.float32)
+    host.push(x)
+    import time
+    deadline = time.time() + 5
+    out = []
+    while sum(map(len, out)) < 1024 and time.time() < deadline:
+        out.append(host.pull(128))
+        time.sleep(0.002)
+    host.stop()
+    y = np.concatenate(out)[:1024]
+    nz = np.flatnonzero(y)
+    assert len(nz), "no audio passed through"
+    # output equals input modulo leading zeros from pull-before-ready
+    lead = nz[0]
+    np.testing.assert_allclose(y[lead:], x[: 1024 - lead], atol=1e-6)
