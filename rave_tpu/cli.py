@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 
 
 def main(argv=None):
@@ -48,6 +49,15 @@ def main(argv=None):
     st.add_argument("--db_path", required=True)
     st.add_argument("--out", default="speaker_stats.json")
 
+    un = sub.add_parser("units", help="precompute discrete-unit CE targets")
+    un.add_argument("--db_path", required=True)
+    un.add_argument("--num_units", type=int, default=100)
+
+    dn = sub.add_parser("decode_noise", help="pre-decode a noise corpus")
+    dn.add_argument("--input_path", required=True)
+    dn.add_argument("--output_path", required=True)
+    dn.add_argument("--sampling_rate", type=int, default=44100)
+
     args = p.parse_args(argv)
 
     if args.command == "preprocess":
@@ -64,11 +74,26 @@ def main(argv=None):
         from .export.streaming import export_main
         export_main(args)
     elif args.command == "speaker_stats":
+        import json
         from .data.dataset import AudioDataset
         from .data.pitch import compute_speaker_stats
         ds = AudioDataset(args.db_path)
         stats = compute_speaker_stats(ds, args.out)
         print(json.dumps(stats, indent=2))
+    elif args.command == "units":
+        from .data.dataset import AudioDataset
+        from .data.units import (MelKMeansUnitProvider, precompute_units)
+        ds = AudioDataset(args.db_path)
+        prov = MelKMeansUnitProvider(num_units=args.num_units,
+                                     sr=ds.sr).fit(ds)
+        prov.save(str(Path(args.db_path) / "unit_codebook.npy"))
+        arr = precompute_units(ds, prov, args.db_path)
+        print(f"wrote units {arr.shape} to {args.db_path}/units.npy")
+    elif args.command == "decode_noise":
+        from .data.noise_corpus import decode_noise_corpus
+        res = decode_noise_corpus(args.input_path, args.output_path,
+                                  args.sampling_rate)
+        print(f"decoded {len(res)} noise files")
 
 
 if __name__ == "__main__":

@@ -72,6 +72,19 @@ class RAVEConfig:
     # all bands). None -> all bands.
     encoder_data_size: Optional[int] = None
 
+    # hybrid: mel-spectrogram encoder front end + recurrent layers
+    # (reference configs/hybrid.gin; note the reference's hybrid is marked
+    # "NOT READY" in its test matrix -- here the rates are made consistent:
+    # mel_hop * prod(encoder_ratios) == n_band * prod(ratios))
+    use_mel_encoder: bool = False
+    mel_n_fft: int = 2048
+    mel_n_mels: int = 128
+    mel_hop: int = 128
+    encoder_ratios: Optional[tuple] = None   # defaults to ratios
+    encoder_dilations: Optional[tuple] = None
+    encoder_gru_layers: int = 0
+    decoder_gru_layers: int = 0
+
     # latent head
     latent_head: str = "variational"  # variational|wasserstein|spherical|discrete
     noise_augmentation: int = 0
@@ -110,6 +123,7 @@ class RAVEConfig:
     recon_loss: str = "rave"
 
     # optimisation
+    ema_decay: Optional[float] = None  # reference scripts/train.py EMA cb
     learning_rate: float = 1e-4
     adam_b1: float = 0.5
     adam_b2: float = 0.9
@@ -303,6 +317,20 @@ def _raspberry(c: RAVEConfig):
     _onnx(c)
     c.name = "raspberry"
     c.capacity = 16
+
+
+@preset("hybrid")
+def _hybrid(c: RAVEConfig):
+    """configs/hybrid.gin: mel front end + GRU decoder."""
+    _v2(c)
+    c.name = "hybrid"
+    c.use_mel_encoder = True
+    c.mel_n_fft = 2048
+    c.mel_n_mels = 128
+    c.mel_hop = 128
+    c.encoder_ratios = (2, 2, 2)
+    c.encoder_dilations = ((1,), (1,), (1,))
+    c.decoder_gru_layers = 2
 
 
 # -- orthogonal toggles ------------------------------------------------

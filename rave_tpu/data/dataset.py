@@ -176,6 +176,10 @@ class AudioDataset:
         spk = self.root / "speakers.npy"
         self.speakers = np.load(spk) if spk.exists() else \
             np.zeros(self.count, np.int32)
+        units = self.root / "units.npy"  # precomputed discrete-unit targets
+        self.units = (np.load(units, mmap_mode="r")
+                      if units.exists() and self.n_signal == self.record_len
+                      else None)
         self.speaker_names = meta.get("speakers", ["0"])
         self.phase_mangle_p = phase_mangle_p
         self.use_dequantize = use_dequantize
@@ -202,8 +206,12 @@ class AudioDataset:
             xp = self.perturb(x.copy(), rng)
         if self.noise is not None:
             xp = self.noise(xp, rng)
-        return dict(x=x.astype(np.float32), x_perturbed=xp.astype(np.float32),
+        item = dict(x=x.astype(np.float32),
+                    x_perturbed=xp.astype(np.float32),
                     speaker=np.int32(self.speakers[i]))
+        if self.units is not None:
+            item["units"] = np.asarray(self.units[i], np.int32)
+        return item
 
 
 class LazyAudioDataset:

@@ -50,6 +50,16 @@ def yin_f0(x: np.ndarray, sr: int, frame_length: int = 2048,
     search = cmdf[:, tau_min:tau_max]
     below = search < threshold
     first = np.where(below.any(1), below.argmax(1), search.argmin(1))
+    # YIN: after the first below-threshold crossing, descend to the local
+    # minimum (taking the crossing itself biases the period estimate low)
+    n_search = search.shape[1]
+    tau_sel = first.copy()
+    for fi in range(len(frames)):
+        t0 = int(first[fi])
+        while t0 + 1 < n_search and search[fi, t0 + 1] < search[fi, t0]:
+            t0 += 1
+        tau_sel[fi] = t0
+    first = tau_sel
     tau_est = first + tau_min
     voiced = search[np.arange(len(frames)), first] < threshold
 

@@ -149,6 +149,49 @@ class StreamingRAVE:
             outs.append(self.forward(chunk)[0, :, 0])
         return np.concatenate(outs)
 
+    # -- latent post/pre-processing (reference export.py:482-539) --------
+
+    def set_latent_stats(self, stats: Optional[dict],
+                         fidelity: float = 0.95):
+        """Enable PCA fidelity cropping for the variational head
+        (reference ``VariationalScriptedRAVE``, ``export.py:482-500``)."""
+        self._stats = stats
+        if stats is not None:
+            from ..train.latent_stats import n_dims_for_fidelity
+            self._n_keep = n_dims_for_fidelity(stats["fidelity"], fidelity)
+        else:
+            self._n_keep = None
+
+    def postprocess_latent(self, z: np.ndarray) -> np.ndarray:
+        """Latent -> compact user-facing representation."""
+        head = self.cfg.latent_head
+        if head == "variational" and getattr(self, "_stats", None) is not None:
+            pca = self._stats["latent_pca"]
+            mean = self._stats["latent_mean"]
+            return (z - mean) @ pca.T[:, : self._n_keep]
+        if head == "spherical":
+            from ..models.latent import unit_norm_vector_to_angles
+            return np.asarray(unit_norm_vector_to_angles(jnp.asarray(z)))
+        return z
+
+    def preprocess_latent(self, z: np.ndarray) -> np.ndarray:
+        """Inverse of :meth:`postprocess_latent` (decode side)."""
+        head = self.cfg.latent_head
+        if head == "variational" and getattr(self, "_stats", None) is not None:
+            pca = self._stats["latent_pca"]
+            mean = self._stats["latent_mean"]
+            full = np.zeros((*z.shape[:-1], pca.shape[0]), z.dtype)
+            full[..., : z.shape[-1]] = z
+            return full @ pca + mean
+        if head == "spherical":
+            from ..models.latent import angles_to_unit_norm_vector
+            return np.asarray(angles_to_unit_norm_vector(jnp.asarray(z)))
+        if head == "wasserstein" and self.cfg.noise_augmentation:
+            noise = np.random.default_rng(0).standard_normal(
+                (*z.shape[:-1], self.cfg.noise_augmentation)).astype(z.dtype)
+            return np.concatenate([z, noise], axis=-1)
+        return z
+
     # -- AOT serialisation -----------------------------------------------
 
     def serialize(self, out_dir: str):
@@ -201,7 +244,13 @@ def load_run(run_dir: str):
 
 def export_main(args) -> None:
     cfg, state = load_run(args.run)
-    sr = StreamingRAVE(cfg, state.gen_params, chunk_size=args.chunk_size)
+    # prefer EMA weights when trained with EMA (reference export's --ema,
+    # scripts/export.py:560-572)
+    params = state.ema_params if state.ema_params is not None \
+        else state.gen_params
+    sr = StreamingRAVE(cfg, params, chunk_size=args.chunk_size)
+    from ..train.latent_stats import load_latent_stats
+    sr.set_latent_stats(load_latent_stats(args.run))
     out = sr.serialize(Path(args.run) / "export")
     print(f"exported streaming model to {out} "
           f"(delay {sr.total_delay_samples()} samples)")

@@ -1,0 +1,116 @@
+"""Realtime voice-conversion serving (the fork's nn~ surface).
+
+Mirrors ``ScriptedRAVE`` in the reference (``scripts/export.py:58-539``):
+* precomputed speaker-embedding table + ``speaker`` attribute selecting
+  the conversion target (``export.py:75-97,427-479``),
+* ``learn_target`` mode: stream target audio in, accumulate its speaker
+  embedding online (running mean, like AdaIN's update rule),
+* ``forward``: encode source chunk -> concat selected target embedding ->
+  decode, all through the streaming caches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RAVEConfig
+from ..models.rave import RAVE
+
+
+class VoiceConverter:
+    def __init__(self, cfg: RAVEConfig, params, chunk_size: int = 4096,
+                 speaker_table: Optional[np.ndarray] = None):
+        assert cfg.speaker_embedding_size > 0, \
+            "voice conversion needs a speaker-conditioned model (v2_fork)"
+        self.cfg = cfg
+        self.chunk = chunk_size
+        self.model = RAVE(cfg=cfg, streaming=True, train_mode=False)
+        self.params = params
+        self.speaker_table = (np.zeros((1, cfg.speaker_embedding_size),
+                                       np.float32)
+                              if speaker_table is None else speaker_table)
+        self.speaker = 0
+        self.learn_target = False
+        self._target_acc = np.zeros(cfg.speaker_embedding_size, np.float32)
+        self._target_n = 0
+
+        x = jnp.zeros((1, chunk_size, 1), jnp.float32)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "latent": jax.random.PRNGKey(1),
+                "noise": jax.random.PRNGKey(2),
+                "quantizer": jax.random.PRNGKey(3)}
+        variables = self.model.init(rngs, x)
+        self.init_cache = jax.tree.map(jnp.zeros_like,
+                                       variables.get("cache", {}))
+        self.cache = self.init_cache
+        aux = {k: v for k, v in variables.items()
+               if k not in ("params", "cache")}
+
+        def fwd(cache, x, emb):
+            v = {"params": self.params, "cache": cache, **aux}
+            bands = self.model.apply(v, x, method=RAVE.pqmf_forward)
+            # stateful caches: single apply covering encode+decode
+            def run(mdl):
+                z = mdl.encode_input(x, bands)
+                from ..models.latent import VariationalHead
+                if mdl.cfg.latent_head == "variational":
+                    z, _ = VariationalHead.mean_scale(z)
+                e = jnp.broadcast_to(emb[None, None, :],
+                                     (z.shape[0], z.shape[1], emb.shape[-1]))
+                z = jnp.concatenate([z, e], axis=-1)
+                y = mdl.decode_bands(z)
+                return mdl.pqmf_inverse(y)
+
+            y, upd = self.model.apply(
+                v, method=lambda mdl: run(mdl), mutable=["cache"],
+                rngs={"latent": jax.random.PRNGKey(4),
+                      "noise": jax.random.PRNGKey(5)})
+            return y, upd["cache"]
+
+        def spk_embed(cache, x):
+            v = {"params": self.params, "cache": cache, **aux}
+            def run(mdl):
+                bands = mdl.pqmf_forward(x)
+                return mdl.speaker_embedding(bands)
+            e, upd = self.model.apply(v, method=lambda mdl: run(mdl),
+                                      mutable=["cache"])
+            return e, upd["cache"]
+
+        self._fwd = jax.jit(fwd)
+        self._spk = jax.jit(spk_embed)
+
+    # ---- nn~-style attributes (reference export.py:427-479) -----------
+
+    def set_speaker(self, idx: int):
+        self.speaker = int(np.clip(idx, 0, len(self.speaker_table) - 1))
+
+    def set_learn_target(self, on: bool):
+        if on and not self.learn_target:
+            self._target_acc[:] = 0
+            self._target_n = 0
+        self.learn_target = bool(on)
+
+    def reset(self):
+        self.cache = self.init_cache
+
+    def current_embedding(self) -> np.ndarray:
+        if self._target_n > 0:
+            return self._target_acc / self._target_n
+        return self.speaker_table[self.speaker]
+
+    # ---- per-block processing -----------------------------------------
+
+    def forward(self, x_chunk: np.ndarray) -> np.ndarray:
+        xj = jnp.asarray(x_chunk.reshape(1, -1, 1), jnp.float32)
+        if self.learn_target:
+            e, self.cache = self._spk(self.cache, xj)
+            self._target_acc += np.asarray(e[0])
+            self._target_n += 1
+            return np.zeros_like(x_chunk)
+        emb = jnp.asarray(self.current_embedding())
+        y, self.cache = self._fwd(self.cache, xj, emb)
+        return np.asarray(y[0, :, 0])

@@ -102,6 +102,32 @@ class AdaIN(nn.Module):
         return jnp.where(use, transfer, x)
 
 
+class GRULayer(nn.Module):
+    """Optional recurrent layer (reference ``GRU``,
+    ``rave/blocks.py:294-318``; used by the hybrid config).  Causal, so it
+    adds no delay; streaming carries the hidden state in the cache."""
+    dim: int
+    num_layers: int = 1
+    ss: StreamSetup = StreamSetup()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B = x.shape[0]
+        for layer in range(self.num_layers):
+            cell = nn.GRUCell(features=self.dim, name=f"cell{layer}")
+            if self.ss.streaming:
+                h = self.variable("cache", f"h{layer}",
+                                  lambda: jnp.zeros((B, self.dim), x.dtype))
+                carry = h.value.astype(x.dtype)
+            else:
+                carry = jnp.zeros((B, self.dim), x.dtype)
+            carry, x = nn.RNN(cell, return_carry=True)(
+                x, initial_carry=carry)
+            if self.ss.streaming:
+                h.value = carry
+        return x
+
+
 class DilatedUnit(nn.Module):
     """act -> dilated conv(k) -> act -> 1x1 conv
     (reference ``rave/blocks.py:84-113``).  Stride 1; own delay =
@@ -333,6 +359,7 @@ class EncoderV2(nn.Module):
     activation: str = "leaky_relu"
     weight_norm: bool = True
     adain: bool = False
+    gru_layers: int = 0
     train_mode: bool = True
     ss: StreamSetup = StreamSetup()
 
@@ -403,6 +430,9 @@ class EncoderV2(nn.Module):
                 x = Conv1d(features=kw["features"],
                            kernel_size=kw["kernel_size"],
                            weight_norm=self.weight_norm, ss=self.ss)(x)
+        if self.gru_layers:
+            x = GRULayer(dim=x.shape[-1], num_layers=self.gru_layers,
+                         ss=self.ss)(x)
         return x
 
 
@@ -423,6 +453,7 @@ class GeneratorV2(nn.Module):
     activation: str = "leaky_relu"
     weight_norm: bool = True
     adain: bool = False
+    gru_layers: int = 0
     train_mode: bool = True
     ss: StreamSetup = StreamSetup()
 
@@ -462,6 +493,10 @@ class GeneratorV2(nn.Module):
                  rng: Optional[jax.Array] = None) -> jax.Array:
         dilations_list, ratios, num_channels = self._plan()
         d = 0
+        if self.gru_layers:
+            # recurrent layer on the latent (reference blocks.py:628-629)
+            x = GRULayer(dim=x.shape[-1], num_layers=self.gru_layers,
+                         ss=self.ss)(x)
         x = Conv1d(features=num_channels, kernel_size=self.kernel_size,
                    weight_norm=self.weight_norm, ss=self.ss)(x)
         d = Conv1d(features=num_channels, kernel_size=self.kernel_size,

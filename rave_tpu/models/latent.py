@@ -129,6 +129,37 @@ class DiscreteHead(nn.Module):
         return 1
 
 
+def unit_norm_vector_to_angles(x: jax.Array) -> jax.Array:
+    """Unit vector -> generalised spherical angles in [-1, 1]
+    (reference ``rave/blocks.py:926-939``).  x: (B, T, C)."""
+    import numpy as np
+    xr = jnp.flip(x, axis=-1) ** 2
+    cums = jnp.cumsum(xr, axis=-1)          # reversed cumulative sums
+    # norms_k = sqrt(sum_{j>=k} x_j^2) for k in 0..C-2
+    norms = jnp.sqrt(jnp.flip(cums, axis=-1)[..., :-1] + 1e-12)
+    angles = jnp.arccos(jnp.clip(x[..., :-1] / norms, -1.0, 1.0))
+    last = jnp.where(x[..., -1:] >= 0, angles[..., -1:],
+                     2 * np.pi - angles[..., -1:])
+    angles = jnp.concatenate([angles[..., :-1] / np.pi,
+                              last / (2 * np.pi)], axis=-1)
+    return 2 * (angles - 0.5)
+
+
+def angles_to_unit_norm_vector(angles: jax.Array) -> jax.Array:
+    """Inverse of :func:`unit_norm_vector_to_angles`
+    (reference ``rave/blocks.py:942-957``)."""
+    import numpy as np
+    a = (angles / 2 + 0.5) % 1.0
+    a = jnp.concatenate([a[..., :-1] * np.pi,
+                         a[..., -1:] * (2 * np.pi)], axis=-1)
+    cos = jnp.cos(a)
+    sin = jnp.cumprod(jnp.sin(a), axis=-1)
+    ones = jnp.ones_like(cos[..., :1])
+    cos = jnp.concatenate([cos, ones], axis=-1)
+    sin = jnp.concatenate([ones, sin], axis=-1)
+    return cos * sin
+
+
 LATENT_HEADS = {
     "variational": VariationalHead,
     "wasserstein": WassersteinHead,

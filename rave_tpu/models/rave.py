@@ -74,17 +74,28 @@ class RAVE(nn.Module):
         else:
             self.pqmf = None
 
-        n_out = 2 if cfg.latent_head == "variational" else 1
-        data_size = cfg.effective_encoder_data_size()
+        # the voice-conversion fork feeds the raw (un-reparametrised)
+        # latent to the decoder and trains the encoder via CE only
+        # (reference model.py:349,358-360; v1.gin sets n_out=1), so the
+        # variational head's 2x channels only apply to the upstream path
+        n_out = (2 if (cfg.latent_head == "variational"
+                       and cfg.speaker_embedding_size == 0) else 1)
+        if cfg.use_mel_encoder:
+            data_size = cfg.mel_n_mels
+        else:
+            data_size = cfg.effective_encoder_data_size()
+        enc_ratios = cfg.encoder_ratios or cfg.ratios
+        enc_dilations = cfg.encoder_dilations or cfg.dilations
 
         if cfg.encoder_version == "v2":
             self.encoder = EncoderV2(
                 data_size=data_size, capacity=cfg.capacity,
-                ratios=cfg.ratios, latent_size=cfg.latent_size,
+                ratios=enc_ratios, latent_size=cfg.latent_size,
                 n_out=n_out, kernel_size=cfg.kernel_size,
-                dilations=cfg.dilations, keep_dim=cfg.keep_dim,
+                dilations=enc_dilations, keep_dim=cfg.keep_dim,
                 activation=cfg.activation, weight_norm=cfg.weight_norm,
-                adain=cfg.adain, train_mode=self.train_mode, ss=ss)
+                adain=cfg.adain, gru_layers=cfg.encoder_gru_layers,
+                train_mode=self.train_mode, ss=ss)
         else:
             self.encoder = EncoderV1(
                 data_size=data_size, capacity=cfg.capacity,
@@ -121,6 +132,7 @@ class RAVE(nn.Module):
                 use_noise=cfg.use_noise, noise_ratios=cfg.noise_ratios,
                 noise_bands=cfg.noise_bands, activation=cfg.activation,
                 weight_norm=cfg.weight_norm, adain=cfg.adain,
+                gru_layers=cfg.decoder_gru_layers,
                 train_mode=self.train_mode, ss=ss)
         else:
             self.decoder = GeneratorV1(
@@ -156,6 +168,33 @@ class RAVE(nn.Module):
         ds = self.cfg.effective_encoder_data_size()
         return self.encoder(bands[..., :ds])
 
+    def encoder_features(self, x: jax.Array, bands: jax.Array) -> jax.Array:
+        """Encoder input: PQMF band slice, or the hybrid log1p mel
+        spectrogram front end (reference ``EncoderV2.forward``,
+        ``rave/blocks.py:591-596``)."""
+        if not self.cfg.use_mel_encoder:
+            ds = self.cfg.effective_encoder_data_size()
+            return bands[..., :ds]
+        from ..ops.stft import mel_filterbank, stft
+        cfg = self.cfg
+        s = stft(x[..., 0], cfg.mel_n_fft, cfg.mel_hop, normalized=True)
+        mel = jnp.asarray(mel_filterbank(cfg.sampling_rate, cfg.mel_n_fft,
+                                         cfg.mel_n_mels))
+        m = jnp.abs(s) @ mel.T  # (B, frames, mels)
+        # align frame count to T // mel_hop (center=True adds one frame)
+        m = m[:, : x.shape[1] // cfg.mel_hop]
+        return jnp.log1p(m)
+
+    def _dtype(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
+
+    def encode_input(self, x: jax.Array, bands: jax.Array) -> jax.Array:
+        """Neural trunk in the compute dtype (bf16 fast path keeps the MXU
+        fed; PQMF and losses stay float32)."""
+        feats = self.encoder_features(x, bands).astype(self._dtype())
+        return self.encoder(feats).astype(jnp.float32)
+
     def speaker_embedding(self, bands: jax.Array) -> jax.Array:
         """Frozen speaker embedding (B, 256) (reference model.py:351-353
         computes it under no_grad)."""
@@ -173,17 +212,21 @@ class RAVE(nn.Module):
     def decode_bands(self, z: jax.Array,
                      rng: Optional[jax.Array] = None,
                      warmed_up=True) -> jax.Array:
+        z = z.astype(self._dtype())
         if isinstance(self.decoder, GeneratorV1):
-            return self.decoder(z, rng, warmed_up=warmed_up)
-        return self.decoder(z, rng)
+            y = self.decoder(z, rng, warmed_up=warmed_up)
+        else:
+            y = self.decoder(z, rng)
+        return y.astype(jnp.float32)
 
     # ---------------- inference API ------------------------------------
 
     def encode(self, x: jax.Array, rng: Optional[jax.Array] = None):
         """Audio -> sampled/processed latent (reference model.py:594-622)."""
         bands = self.pqmf_forward(x)
-        z = self.encode_bands(bands)
-        if isinstance(self.latent, VariationalHead):
+        z = self.encode_input(x, bands)
+        if isinstance(self.latent, VariationalHead) \
+                and self.cfg.speaker_embedding_size == 0:
             mean, _ = VariationalHead.mean_scale(z)
             z = mean
         elif isinstance(self.latent, SphericalHead):
@@ -209,8 +252,9 @@ class RAVE(nn.Module):
                 rng: Optional[jax.Array] = None):
         """Reference validation conversion path (model.py:713-731)."""
         bands = self.pqmf_forward(x)
-        z = self.encode_bands(bands)
-        if isinstance(self.latent, VariationalHead):
+        z = self.encode_input(x, bands)
+        if isinstance(self.latent, VariationalHead) \
+                and self.cfg.speaker_embedding_size == 0:
             z, _ = VariationalHead.mean_scale(z)
         tgt_bands = self.pqmf_forward(target)
         emb = self.speaker_embedding(tgt_bands)

@@ -108,7 +108,8 @@ def init_state(cfg: RAVEConfig, rng: jax.Array,
         enc_opt=enc_tx.init(enc),
         dec_opt=dec_tx.init(dec),
         dis_opt=dis_tx.init(dis_params),
-        ema_params=None,
+        ema_params=(jax.tree.map(jnp.copy, gen_params)
+                    if cfg.ema_decay else None),
     )
 
 
@@ -166,7 +167,7 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
 
     bands_x = model.apply(variables, x, method=RAVE.pqmf_forward)
     bands_xp = model.apply(variables, x_p, method=RAVE.pqmf_forward)
-    z_pre = model.apply(variables, bands_xp, method=RAVE.encode_bands,
+    z_pre = model.apply(variables, x_p, bands_xp, method=RAVE.encode_input,
                         rngs=rngs)
 
     aux = {}
@@ -347,8 +348,14 @@ def make_train_step(cfg: RAVEConfig):
                 new_params[k] = v
             for k, v in optax.apply_updates(dec_p, dec_u).items():
                 new_params[k] = v
+            ema = state.ema_params
+            if ema is not None and cfg.ema_decay:
+                d = cfg.ema_decay
+                ema = jax.tree.map(lambda e, p: e * d + p * (1 - d),
+                                   ema, new_params)
             return state.replace(gen_params=new_params, enc_opt=enc_opt,
-                                 dec_opt=dec_opt, model_state=new_state), \
+                                 dec_opt=dec_opt, model_state=new_state,
+                                 ema_params=ema), \
                 metrics
 
         def do_dis(state):
@@ -372,8 +379,9 @@ def make_train_step(cfg: RAVEConfig):
 
 
 def make_eval_step(cfg: RAVEConfig):
-    """Validation reconstruction distance (reference
-    ``validation_step``, model.py:636-686)."""
+    """Validation reconstruction distance + posterior latents (reference
+    ``validation_step``, model.py:636-686; the returned latent means feed
+    the PCA fidelity fit, upstream model.py:753-779)."""
     model = RAVE(cfg=cfg, train_mode=False)
 
     def eval_step(state: TrainState, batch, rng):
@@ -384,6 +392,13 @@ def make_eval_step(cfg: RAVEConfig):
         t = min(x.shape[1], y.shape[1])
         dist = L.audio_distance_v1(x[:, :t], y[:, :t], cfg.stft_scales,
                                    cfg.log_epsilon, cfg.sampling_rate)
-        return {"validation": dist}, y
+        bands = model.apply(variables, x, method=RAVE.pqmf_forward)
+        z_pre = model.apply(variables, x, bands, method=RAVE.encode_input,
+                            rngs=rngs)
+        if cfg.latent_head == "variational":
+            z_mean = jnp.split(z_pre, 2, axis=-1)[0]
+        else:
+            z_mean = z_pre
+        return {"validation": dist}, y, z_mean
 
     return eval_step

@@ -60,6 +60,8 @@ def train_main(args) -> None:
         cfg.batch_size = args.batch
     if args.max_steps:
         cfg.max_steps = args.max_steps
+    if getattr(args, "ema", None):
+        cfg.ema_decay = args.ema
 
     run_dir = Path(args.out_path) / f"{args.name}_{cfg.hash()}"
     run_dir.mkdir(parents=True, exist_ok=True)
@@ -113,12 +115,17 @@ def train_main(args) -> None:
                                  for k, v in metrics.items()))
 
             if args.val_every and step and step % args.val_every == 0:
-                vals = []
+                vals, zs = [], []
                 for vb in val_loader:
-                    m, _ = eval_fn(state, put(vb), jax.random.PRNGKey(2))
+                    m, _, z = eval_fn(state, put(vb), jax.random.PRNGKey(2))
                     vals.append(float(m["validation"]))
+                    zs.append(np.asarray(z).reshape(-1, z.shape[-1]))
                 v = float(np.mean(vals)) if vals else float("nan")
                 logger.log(step, {"validation": v})
+                if zs and cfg.latent_head == "variational":
+                    from .latent_stats import fit_latent_pca, save_latent_stats
+                    save_latent_stats(run_dir,
+                                      fit_latent_pca(np.concatenate(zs)))
                 ckpt.save(state, {"validation": v})
 
             if args.ckpt_every and step and step % args.ckpt_every == 0:

@@ -15,20 +15,25 @@ ST = StreamSetup(streaming=True)
 
 
 def run_streaming(module, params, x, chunk):
-    variables = module.init(jax.random.PRNGKey(0), x[:, :chunk])
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), x[:, :chunk])
     cache = jax.tree.map(jnp.zeros_like, variables.get("cache", {}))
+
+    @jax.jit
+    def step(cache, xc):
+        y, upd = module.apply({"params": params, "cache": cache}, xc,
+                              mutable=["cache"])
+        return y, upd["cache"]
+
     outs = []
     for i in range(0, x.shape[1], chunk):
-        y, upd = module.apply({"params": params, "cache": cache},
-                              x[:, i:i + chunk], mutable=["cache"])
-        cache = upd["cache"]
+        y, cache = step(cache, x[:, i:i + chunk])
         outs.append(y)
     return jnp.concatenate(outs, axis=1)
 
 
 def check(off, st, x, chunk, delay, up_ratio=1, atol=2e-4):
-    params = off.init(jax.random.PRNGKey(1), x)["params"]
-    y_off = off.apply({"params": params}, x)
+    params = jax.jit(off.init)(jax.random.PRNGKey(1), x)["params"]
+    y_off = jax.jit(off.apply)({"params": params}, x)
     y_str = run_streaming(st, params, x, chunk)
     n = y_off.shape[1]
     a = np.asarray(y_off[:, :n - delay]) if delay else np.asarray(y_off)
@@ -69,8 +74,8 @@ def test_encoder_v2_stream():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 4))
     off = EncoderV2(ss=OFF, **ENC_KW)
     st = EncoderV2(ss=ST, **ENC_KW)
-    params = off.init(jax.random.PRNGKey(1), x)["params"]
-    y_off = off.apply({"params": params}, x)
+    params = jax.jit(off.init)(jax.random.PRNGKey(1), x)["params"]
+    y_off = jax.jit(off.apply)({"params": params}, x)
     assert y_off.shape == (1, 32, 4)
     y_str = run_streaming(st, params, x, 32)
     d = st.out_delay
@@ -87,8 +92,8 @@ def test_generator_v2_stream():
     z = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 4))
     off = GeneratorV2(ss=OFF, **GEN_KW)
     st = GeneratorV2(ss=ST, **GEN_KW)
-    params = off.init(jax.random.PRNGKey(1), z)["params"]
-    y_off = off.apply({"params": params}, z)
+    params = jax.jit(off.init)(jax.random.PRNGKey(1), z)["params"]
+    y_off = jax.jit(off.apply)({"params": params}, z)
     assert y_off.shape == (1, 128, 4)
     y_str = run_streaming(st, params, z, 8)
     d = st.out_delay
@@ -104,8 +109,8 @@ def test_causal_encoder_zero_delay():
     off = EncoderV2(ss=ss_off, **ENC_KW)
     st = EncoderV2(ss=ss_st, **ENC_KW)
     assert st.out_delay == 0
-    params = off.init(jax.random.PRNGKey(1), x)["params"]
-    y_off = off.apply({"params": params}, x)
+    params = jax.jit(off.init)(jax.random.PRNGKey(1), x)["params"]
+    y_off = jax.jit(off.apply)({"params": params}, x)
     y_str = run_streaming(st, params, x, 32)
     np.testing.assert_allclose(np.asarray(y_off), np.asarray(y_str),
                                atol=2e-4, rtol=1e-3)

@@ -17,14 +17,23 @@ from rave_tpu.ops.delay import get_padding, plan_conv
 
 
 def run_streaming(module, params, x, chunk):
-    """Feed x through module in chunks, threading the cache."""
-    variables = module.init(jax.random.PRNGKey(0), x[:, :chunk])
+    """Feed x through module in chunks, threading the cache.
+
+    The chunk step is jitted once (a single compiled module) -- eager
+    per-op dispatch is pathological on remote-compile backends.
+    """
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), x[:, :chunk])
     cache = jax.tree.map(jnp.zeros_like, variables.get("cache", {}))
+
+    @jax.jit
+    def step(cache, xc):
+        y, upd = module.apply({"params": params, "cache": cache}, xc,
+                              mutable=["cache"])
+        return y, upd["cache"]
+
     outs = []
     for i in range(0, x.shape[1], chunk):
-        y, updated = module.apply({"params": params, "cache": cache},
-                                  x[:, i:i + chunk], mutable=["cache"])
-        cache = updated["cache"]
+        y, cache = step(cache, x[:, i:i + chunk])
         outs.append(y)
     return jnp.concatenate(outs, axis=1)
 

@@ -26,7 +26,8 @@ def db(tmp_path_factory):
 
 
 def test_wav_round_trip(tmp_path):
-    x = (np.random.default_rng(1).standard_normal(1000) * 0.5).astype(np.float32)
+    x = np.clip(np.random.default_rng(1).standard_normal(1000) * 0.5,
+                -1, 1).astype(np.float32)
     save_wav(tmp_path / "t.wav", x, 44100)
     y, sr = load_wav(tmp_path / "t.wav")
     assert sr == 44100
@@ -84,6 +85,35 @@ def test_formant_shift_native():
     y = formant_shift_native(x, 16000, 1.2)
     assert y.shape == x.shape
     assert np.isfinite(y).all()
+
+
+def test_units_provider(db):
+    from rave_tpu.data.units import MelKMeansUnitProvider, precompute_units
+    out, _ = db
+    ds = AudioDataset(str(out))
+    prov = MelKMeansUnitProvider(num_units=8, sr=16000, hop=320).fit(
+        ds, max_items=8, iters=3)
+    u = prov(ds[0]["x"])
+    assert u.dtype == np.int32
+    assert (u >= 0).all() and (u < 8).all()
+    arr = precompute_units(ds, prov, str(out))
+    assert arr.shape[0] == len(ds)
+    # dataset picks units up (n_signal == record_len)
+    ds2 = AudioDataset(str(out))
+    assert "units" in ds2[0]
+
+
+def test_remote_dataset_http(db):
+    from rave_tpu.data.remote import HTTPAudioDataset, serve_dataset
+    out, _ = db
+    ds = AudioDataset(str(out))
+    server = serve_dataset(ds, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    client = HTTPAudioDataset(f"http://127.0.0.1:{port}")
+    assert len(client) == len(ds)
+    item = client[0]
+    assert item["x"].shape == (ds.n_signal,)
+    server.shutdown()
 
 
 def test_yin_f0_sine():

@@ -41,8 +41,8 @@ def test_config_matrix_autoencode(stack):
     cfg = build_config(stack, TINY)
     model = RAVE(cfg=cfg, train_mode=False)
     x = jax.random.normal(jax.random.PRNGKey(9), (1, 4096, 1)) * 0.1
-    variables = model.init(_rngs(), x)
-    y = model.apply(variables, x,
+    variables = jax.jit(model.init)(_rngs(), x)
+    y = jax.jit(model.apply)(variables, x,
                     rngs={"latent": jax.random.PRNGKey(4),
                           "noise": jax.random.PRNGKey(5)})
     assert y.shape == x.shape, f"{stack}: {y.shape} != {x.shape}"
@@ -54,10 +54,12 @@ def test_fork_voice_conversion_path():
     model = RAVE(cfg=cfg, train_mode=False)
     x = jax.random.normal(jax.random.PRNGKey(9), (1, 4096, 1)) * 0.1
     tgt = jax.random.normal(jax.random.PRNGKey(10), (1, 4096, 1)) * 0.1
-    variables = model.init(_rngs(), x)
-    y = model.apply(variables, x, tgt, method=RAVE.convert,
-                    rngs={"latent": jax.random.PRNGKey(4),
-                          "noise": jax.random.PRNGKey(5)})
+    variables = jax.jit(model.init)(_rngs(), x)
+    convert = jax.jit(lambda v, a, b: model.apply(
+        v, a, b, method=RAVE.convert,
+        rngs={"latent": jax.random.PRNGKey(4),
+              "noise": jax.random.PRNGKey(5)}))
+    y = convert(variables, x, tgt)
     assert y.shape == x.shape
 
 

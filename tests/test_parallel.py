@@ -1,0 +1,66 @@
+"""Data-parallel correctness: N-device sharded step == single-device step.
+
+The TPU stand-in for 'distributed test without a cluster' (SURVEY §4):
+8 virtual CPU devices via --xla_force_host_platform_device_count.  Skips
+when only one device is visible (e.g. the tunnelled single-chip TPU).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rave_tpu.config import build_config
+from rave_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated,
+                                    replicate_state)
+from rave_tpu.train.loop import init_state, make_train_step
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 2, reason="needs >=2 devices (virtual CPU mesh)")
+
+
+def tiny_cfg():
+    cfg = build_config(["v2"], [
+        "capacity=4", "n_signal=2048", "batch_size=4",
+        "valid_signal_crop=false", "stft_scales=[512,256]",
+        "phase_1_duration=1000", "update_discriminator_every=2"])
+    cfg.discriminator.kind = "multi_scale"
+    cfg.discriminator.capacity = 4
+    cfg.discriminator.n_layers = 2
+    return cfg
+
+
+def test_dp_matches_single_device():
+    cfg = tiny_cfg()
+    batch = {"x": jax.random.normal(jax.random.PRNGKey(1),
+                                    (4, 2048, 1)) * 0.1}
+    rng = jax.random.PRNGKey(2)
+
+    # single device
+    state1 = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    s1, m1 = step(state1, batch, rng)
+
+    # sharded over a 4-device mesh
+    mesh = make_mesh(4)
+    state2 = init_state(cfg, jax.random.PRNGKey(0))
+    state2 = replicate_state(state2, mesh)
+    sb = {"x": jax.device_put(batch["x"], batch_sharding(mesh))}
+    with mesh:
+        s2, m2 = jax.jit(make_train_step(cfg))(
+            state2, sb, jax.device_put(rng, replicated(mesh)))
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=1e-4, atol=1e-5)
+    # spot-check a parameter leaf
+    p1 = jax.tree.leaves(s1.gen_params)[0]
+    p2 = jax.tree.leaves(s2.gen_params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(min(4, jax.device_count()))

@@ -79,8 +79,8 @@ def test_forward_matches_oracle(bank):
 
     m = PQMF(attenuation=100.0, n_band=16)
     xj = jnp.asarray(x, jnp.float32).reshape(1, -1, 1)
-    vars_ = m.init(jax.random.PRNGKey(0), xj)
-    y = m.apply(vars_, xj)  # (1, T/M, M)
+    vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), xj)
+    y = jax.jit(m.apply)(vars_, xj)  # (1, T/M, M)
     got = np.asarray(y[0]).T
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
@@ -112,8 +112,8 @@ def test_round_trip_snr():
     x = rng.standard_normal(T).astype(np.float32) * 0.5
     m = PQMF(attenuation=100.0, n_band=16)
     xj = jnp.asarray(x).reshape(1, -1, 1)
-    vars_ = m.init(jax.random.PRNGKey(0), xj)
-    y = m.apply(vars_, xj)
+    vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), xj)
+    y = jax.jit(m.apply)(vars_, xj)
     rec = np.asarray(m.apply(vars_, y, method=PQMF.inverse))[0, :, 0]
     # find the round-trip delay by cross-correlation
     corr = np.correlate(rec, x, "full")
@@ -138,13 +138,17 @@ def test_streaming_equiv():
     y_off = off.apply(vars_off, x)
 
     chunk = 512
-    vs = st.init(jax.random.PRNGKey(0), x[:, :chunk])
+    vs = jax.jit(st.init)(jax.random.PRNGKey(0), x[:, :chunk])
     cache = jax.tree.map(jnp.zeros_like, vs.get("cache", {}))
+
+    @jax.jit
+    def step(cache, xc):
+        y, upd = st.apply({"cache": cache}, xc, mutable=["cache"])
+        return y, upd["cache"]
+
     outs = []
     for i in range(0, T, chunk):
-        y, upd = st.apply({"cache": cache}, x[:, i:i + chunk],
-                          mutable=["cache"])
-        cache = upd["cache"]
+        y, cache = step(cache, x[:, i:i + chunk])
         outs.append(y)
     y_str = jnp.concatenate(outs, axis=1)
 

@@ -77,6 +77,7 @@ def test_eval_step():
     cfg = tiny_cfg()
     state = init_state(cfg, jax.random.PRNGKey(0))
     ev = jax.jit(make_eval_step(cfg))
-    m, y = ev(state, make_batch(cfg), jax.random.PRNGKey(3))
+    m, y, z = ev(state, make_batch(cfg), jax.random.PRNGKey(3))
     assert np.isfinite(float(m["validation"]))
     assert y.shape == (cfg.batch_size, cfg.n_signal, 1)
+    assert z.shape[-1] == cfg.latent_size
