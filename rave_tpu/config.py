@@ -25,6 +25,9 @@ from typing import Any, Callable, Optional, Sequence
 class DiscriminatorConfig:
     kind: str = "combine"             # see models.discriminators.DISCRIMINATORS
     members: tuple = ("periods", "scales", "spectral")
+    # per-member loss weights (reference fork weighs the MelGAN stack at
+    # 0.1 next to UnivNet, model.py:518-519); None -> all 1.0
+    member_weights: Optional[tuple] = None
     capacity: int = 64
     n_layers: int = 4
     periods: tuple = (2, 3, 5, 7, 11)
@@ -230,7 +233,8 @@ def _v2_fork(c: RAVEConfig):
     c.hubert_units = 100
     c.recon_loss = "mrstft"
     c.discriminator = DiscriminatorConfig(
-        kind="combine", members=("univnet", "melgan_stack"))
+        kind="combine", members=("univnet", "melgan_stack"),
+        member_weights=(1.0, 0.1))
     c.gan_loss = "ls"
 
 

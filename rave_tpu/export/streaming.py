@@ -86,41 +86,50 @@ class StreamingRAVE:
     # -- latency ----------------------------------------------------------
 
     def total_delay_samples(self) -> int:
-        """Static end-to-end streaming delay in audio samples."""
+        """Static end-to-end streaming delay in audio samples.
+
+        Composite chain (all verified by the full-graph equivalence test):
+        PQMF analysis delay feeds the encoder as ``in_delay`` (its strided
+        convs re-align it), the encoder's latent-frame delay scales
+        linearly through the decoder's upsamplers, the decoder's own
+        band-frame delay and the PQMF synthesis delay add on top.
+        """
         cfg = self.cfg
-        model = self.model
-        # PQMF analysis + synthesis delay (frames at band rate) plus
-        # encoder+decoder delay (band frames), converted to samples.
-        from ..ops.pqmf import PQMF
         from ..ops.conv import StreamSetup
+        from ..ops.pqmf import _pqmf_kernels
+        from ..models.blocks import EncoderV2, GeneratorV2
         ss = StreamSetup(mode="causal" if cfg.causal else "centered",
                          streaming=True)
-        pq = PQMF(attenuation=cfg.pqmf_attenuation, n_band=cfg.n_band, ss=ss)
-        d_bands = pq.delay_frames + pq.inverse_delay_frames
-        # encoder delay at latent rate * ratio product back to band frames
+        if cfg.n_band > 1:
+            _, pq_a, _, pq_s = _pqmf_kernels(cfg.pqmf_attenuation,
+                                             cfg.n_band)
+        else:
+            pq_a = pq_s = 0
         enc_ratio = 1
-        for r in cfg.ratios:
+        for r in (cfg.encoder_ratios or cfg.ratios):
             enc_ratio *= r
-        from ..models.blocks import EncoderV2, GeneratorV2
         if cfg.encoder_version == "v2":
             enc = EncoderV2(data_size=cfg.effective_encoder_data_size(),
-                            capacity=cfg.capacity, ratios=cfg.ratios,
+                            capacity=cfg.capacity,
+                            ratios=cfg.encoder_ratios or cfg.ratios,
                             latent_size=cfg.latent_size, n_out=1,
                             kernel_size=cfg.kernel_size,
-                            dilations=cfg.dilations, ss=ss)
-            enc_d = enc.out_delay * enc_ratio
+                            dilations=cfg.encoder_dilations or cfg.dilations,
+                            in_delay=pq_a, ss=ss)
+            enc_d_latent = enc.out_delay  # includes the pqmf input delay
         else:
-            enc_d = 0
+            enc_d_latent = 0
         if cfg.generator_version == "v2":
             dec = GeneratorV2(data_size=cfg.n_band, capacity=cfg.capacity,
                               ratios=cfg.ratios,
                               latent_size=cfg.decoder_latent_size(),
                               kernel_size=cfg.kernel_size,
                               dilations=cfg.dilations, ss=ss)
-            dec_d = dec.out_delay
+            dec_d = dec.out_delay  # band frames, for zero input delay
         else:
             dec_d = 0
-        return (d_bands + enc_d + dec_d) * cfg.n_band
+        total_band_frames = enc_d_latent * enc_ratio + dec_d + pq_s
+        return total_band_frames * cfg.n_band
 
     # -- stateful API (nn~-style) ----------------------------------------
 

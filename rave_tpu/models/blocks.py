@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.conv import Conv1d, ConvTranspose1d, Delay, StreamSetup
+from ..ops.delay import plan_conv, plan_conv_transpose
 from ..ops.losses import amp_to_impulse_response, fft_convolve, mod_sigmoid
 
 
@@ -25,6 +26,34 @@ def normalize_dilations(dilations, ratios):
     if isinstance(dilations[0], int):
         dilations = [dilations for _ in ratios]
     return list(dilations)
+
+
+# Pure delay helpers: delay bookkeeping must never instantiate linen
+# modules (constructing throwaway Modules inside an apply context
+# corrupts flax name registration).
+
+def conv_delay(kernel_size: int, stride: int = 1, dilation: int = 1,
+               mode: str = "centered", in_delay: int = 0) -> int:
+    return plan_conv(kernel_size, stride, dilation, mode, in_delay).out_delay
+
+
+def upsample_delay(ratio: int, mode: str, in_delay: int = 0) -> int:
+    if ratio > 1:
+        return plan_conv_transpose(2 * ratio, ratio, ratio // 2,
+                                   in_delay).out_delay
+    return conv_delay(3, 1, 1, mode, in_delay)
+
+
+def residual_layer_delay(kernel_size: int, dilations, mode: str) -> int:
+    d = 0
+    for dil in dilations:
+        d = conv_delay(kernel_size, 1, dil, mode, d)
+    return d
+
+
+def residual_block_delay(kernel_size: int, dilations_list, mode: str) -> int:
+    return sum(residual_layer_delay(kernel_size, dl, mode)
+               for dl in dilations_list)
 
 
 class Activation(nn.Module):
@@ -73,7 +102,15 @@ class AdaIN(nn.Module):
         learn_x = self.variable("adain", "learn_x", lambda: jnp.zeros(()))
         learn_y = self.variable("adain", "learn_y", lambda: jnp.zeros(()))
 
-        if self.train_mode:
+        if self.train_mode or not self.is_mutable_collection("adain"):
+            # training: identity (reference blocks.py:893-895); inference
+            # with a frozen adain collection: apply the transfer only
+            if not self.train_mode:
+                use = ((learn_y.value <= 0) & (n_x.value > 0)
+                       & (n_y.value > 0))
+                transfer = (x - mean_x.value) / (std_x.value + 1e-5) \
+                    * std_y.value + mean_y.value
+                return jnp.where(use, transfer, x)
             return x
 
         mean = jnp.mean(x, axis=1, keepdims=True)
@@ -141,8 +178,7 @@ class DilatedUnit(nn.Module):
 
     @property
     def out_delay(self) -> int:
-        return Conv1d(features=self.dim, kernel_size=self.kernel_size,
-                      dilation=self.dilation, ss=self.ss).out_delay
+        return conv_delay(self.kernel_size, 1, self.dilation, self.ss.mode)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -185,8 +221,7 @@ class ResidualLayer(nn.Module):
     def inner_delay(self) -> int:
         d = 0
         for dil in self.dilations:
-            d = Conv1d(features=self.dim, kernel_size=self.kernel_size,
-                       dilation=dil, in_delay=d, ss=self.ss).out_delay
+            d = conv_delay(self.kernel_size, 1, dil, self.ss.mode, d)
         return d
 
     @property
@@ -216,11 +251,8 @@ class ResidualBlock(nn.Module):
 
     @property
     def out_delay(self) -> int:
-        d = 0
-        for dil in self.dilations_list:
-            d += ResidualLayer(dim=self.dim, kernel_size=self.kernel_size,
-                               dilations=dil, ss=self.ss).out_delay
-        return d
+        return residual_block_delay(self.kernel_size, self.dilations_list,
+                                    self.ss.mode)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -242,9 +274,7 @@ class ResidualStack(nn.Module):
     ss: StreamSetup = StreamSetup()
 
     def _branch_delays(self) -> list[int]:
-        return [ResidualBlock(dim=self.dim, kernel_size=k,
-                              dilations_list=self.dilations_list,
-                              ss=self.ss).out_delay
+        return [residual_block_delay(k, self.dilations_list, self.ss.mode)
                 for k in self.kernel_sizes]
 
     @property
@@ -278,13 +308,7 @@ class UpsampleLayer(nn.Module):
 
     @property
     def out_delay(self) -> int:
-        if self.ratio > 1:
-            return ConvTranspose1d(features=self.out_dim,
-                                   kernel_size=2 * self.ratio,
-                                   stride=self.ratio, in_delay=self.in_delay,
-                                   ss=self.ss).out_delay
-        return Conv1d(features=self.out_dim, kernel_size=3,
-                      in_delay=self.in_delay, ss=self.ss).out_delay
+        return upsample_delay(self.ratio, self.ss.mode, self.in_delay)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -361,40 +385,42 @@ class EncoderV2(nn.Module):
     adain: bool = False
     gru_layers: int = 0
     train_mode: bool = True
+    # accumulated delay of the input stream (e.g. the PQMF analysis delay)
+    # in input-rate frames: threads into the strided convs' alignment so
+    # composite streaming delays stay integral
+    in_delay: int = 0
     ss: StreamSetup = StreamSetup()
 
     def _walk(self):
-        """Yield (kind, kwargs) with running delay; returns final delay."""
+        """Yield (kind, kwargs) with running delay; returns final delay.
+
+        Pure: uses only the static delay helpers, never module instances.
+        """
+        mode = self.ss.mode
         dilations_list = normalize_dilations(self.dilations, self.ratios)
         steps = []
-        d = 0
         num_channels = self.capacity
         steps.append(("in_conv", dict(features=num_channels,
                                       kernel_size=2 * self.kernel_size + 1)))
-        d = Conv1d(features=num_channels,
-                   kernel_size=2 * self.kernel_size + 1, ss=self.ss).out_delay
+        d = conv_delay(2 * self.kernel_size + 1, 1, 1, mode, self.in_delay)
         for r, dils in zip(self.ratios, dilations_list):
             for dil in dils:
                 if self.adain:
                     steps.append(("adain", dict(dim=num_channels)))
-                du = DilatedUnit(dim=num_channels, kernel_size=self.kernel_size,
-                                 dilation=dil, ss=self.ss)
+                unit_d = conv_delay(self.kernel_size, 1, dil, mode)
                 steps.append(("residual_unit",
                               dict(dim=num_channels, dilation=dil,
-                                   inner_delay=du.out_delay)))
-                d += du.out_delay
+                                   inner_delay=unit_d)))
+                d += unit_d
             out_channels = num_channels * (r if self.keep_dim else 2)
-            conv = Conv1d(features=out_channels, kernel_size=2 * r, stride=r,
-                          in_delay=d, ss=self.ss)
-            steps.append(("down", dict(features=out_channels, kernel_size=2 * r,
+            steps.append(("down", dict(features=out_channels,
+                                       kernel_size=2 * r,
                                        stride=r, in_delay=d)))
-            d = conv.out_delay
+            d = conv_delay(2 * r, r, 1, mode, d)
             num_channels = out_channels
-        out_conv = Conv1d(features=self.latent_size * self.n_out,
-                          kernel_size=self.kernel_size, in_delay=d, ss=self.ss)
         steps.append(("out_conv", dict(features=self.latent_size * self.n_out,
                                        kernel_size=self.kernel_size)))
-        d = out_conv.out_delay
+        d = conv_delay(self.kernel_size, 1, 1, mode, d)
         return steps, d
 
     @property
@@ -470,23 +496,14 @@ class GeneratorV2(nn.Module):
 
     @property
     def out_delay(self) -> int:
-        dilations_list, ratios, num_channels = self._plan()
-        d = Conv1d(features=num_channels, kernel_size=self.kernel_size,
-                   ss=self.ss).out_delay
+        mode = self.ss.mode
+        dilations_list, ratios, _ = self._plan()
+        d = conv_delay(self.kernel_size, 1, 1, mode)
         for r, dils in zip(ratios, dilations_list):
-            out_channels = num_channels // (r if self.keep_dim else 2)
-            up = ConvTranspose1d(features=out_channels, kernel_size=2 * r,
-                                 stride=r, in_delay=d, ss=self.ss)
-            d = up.out_delay
-            num_channels = out_channels
+            d = plan_conv_transpose(2 * r, r, r // 2, d).out_delay
             for dil in dils:
-                d += DilatedUnit(dim=num_channels,
-                                 kernel_size=self.kernel_size,
-                                 dilation=dil, ss=self.ss).out_delay
-        d = Conv1d(features=self.data_size,
-                   kernel_size=self.kernel_size * 2 + 1, in_delay=d,
-                   ss=self.ss).out_delay
-        return d
+                d += conv_delay(self.kernel_size, 1, dil, mode)
+        return conv_delay(self.kernel_size * 2 + 1, 1, 1, mode, d)
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -499,8 +516,7 @@ class GeneratorV2(nn.Module):
                          ss=self.ss)(x)
         x = Conv1d(features=num_channels, kernel_size=self.kernel_size,
                    weight_norm=self.weight_norm, ss=self.ss)(x)
-        d = Conv1d(features=num_channels, kernel_size=self.kernel_size,
-                   ss=self.ss).out_delay
+        d = conv_delay(self.kernel_size, 1, 1, self.ss.mode)
         for r, dils in zip(ratios, dilations_list):
             out_channels = num_channels // (r if self.keep_dim else 2)
             x = Activation(self.activation)(x)
@@ -584,22 +600,19 @@ class EncoderV1(nn.Module):
 
     @property
     def out_delay(self) -> int:
-        d = Conv1d(features=self.capacity, kernel_size=7, ss=self.ss).out_delay
-        for i, r in enumerate(self.ratios):
-            out_dim = 2 ** (i + 1) * self.capacity
-            d = Conv1d(features=out_dim, kernel_size=2 * r + 1, stride=r,
-                       in_delay=d, ss=self.ss).out_delay
+        mode = self.ss.mode
+        d = conv_delay(7, 1, 1, mode)
+        for r in self.ratios:
+            d = conv_delay(2 * r + 1, r, 1, mode, d)
             for _ in range(self.repeat_layers - 1):
-                d = Conv1d(features=out_dim, kernel_size=3, in_delay=d,
-                           ss=self.ss).out_delay
-        return Conv1d(features=self.latent_size * self.n_out, kernel_size=5,
-                      in_delay=d, groups=self.n_out, ss=self.ss).out_delay
+                d = conv_delay(3, 1, 1, mode, d)
+        return conv_delay(5, 1, 1, mode, d)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = Conv1d(features=self.capacity, kernel_size=7,
                    weight_norm=self.weight_norm, ss=self.ss)(x)
-        d = Conv1d(features=self.capacity, kernel_size=7, ss=self.ss).out_delay
+        d = conv_delay(7, 1, 1, self.ss.mode)
         for i, r in enumerate(self.ratios):
             out_dim = 2 ** (i + 1) * self.capacity
             x = self._norm(x)
@@ -671,24 +684,21 @@ class GeneratorV1(nn.Module):
     ss: StreamSetup = StreamSetup()
 
     def _body_delay(self) -> int:
-        d = Conv1d(features=1, kernel_size=7, ss=self.ss).out_delay
-        for i, r in enumerate(self.ratios):
-            out_dim = 2 ** (len(self.ratios) - i - 1) * self.capacity
-            up = UpsampleLayer(in_dim=out_dim * 2, out_dim=out_dim, ratio=r,
-                               in_delay=d, ss=self.ss)
-            d = up.out_delay
-            d += ResidualStack(dim=out_dim, kernel_sizes=self.kernel_sizes,
-                               dilations_list=self.dilations_list,
-                               ss=self.ss).out_delay
+        mode = self.ss.mode
+        d = conv_delay(7, 1, 1, mode)
+        for r in self.ratios:
+            d = upsample_delay(r, mode, d)
+            d += max(residual_block_delay(k, self.dilations_list, mode)
+                     for k in self.kernel_sizes)
         return d
 
     @property
     def out_delay(self) -> int:
+        mode = self.ss.mode
         d = self._body_delay()
-        wave_d = Conv1d(features=self.data_size, kernel_size=7, in_delay=d,
-                        ss=self.ss).out_delay
-        loud_d = Conv1d(features=1, kernel_size=2 * self.loud_stride + 1,
-                        stride=self.loud_stride, in_delay=d, ss=self.ss).out_delay
+        wave_d = conv_delay(7, 1, 1, mode, d)
+        loud_d = conv_delay(2 * self.loud_stride + 1, self.loud_stride, 1,
+                            mode, d)
         return max(wave_d, loud_d * self.loud_stride)
 
     @nn.compact
@@ -697,7 +707,7 @@ class GeneratorV1(nn.Module):
         out_dim = 2 ** len(self.ratios) * self.capacity
         x = Conv1d(features=out_dim, kernel_size=7,
                    weight_norm=self.weight_norm, ss=self.ss)(x)
-        d = Conv1d(features=out_dim, kernel_size=7, ss=self.ss).out_delay
+        d = conv_delay(7, 1, 1, self.ss.mode)
         for i, r in enumerate(self.ratios):
             in_dim = 2 ** (len(self.ratios) - i) * self.capacity
             out_dim = 2 ** (len(self.ratios) - i - 1) * self.capacity

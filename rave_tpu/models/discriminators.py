@@ -545,6 +545,20 @@ class CombineDiscriminators(nn.Module):
         return out
 
 
+def member_sub_count(member: str) -> int:
+    """Number of sub-discriminators (feature lists) each member emits --
+    used to apply per-member loss weights (reference weighs the MelGAN
+    stack at 0.1, model.py:518-519)."""
+    return {
+        "periods": 5,
+        "scales": 3,
+        "spectral": 5,
+        "univnet": 8,        # 3 MRD + 5 MPD
+        "melgan_stack": 3,
+        "descript": 8,       # 5 MPD + 3 MRD
+    }[member]
+
+
 DISCRIMINATORS = {
     "multi_scale": MultiScaleDiscriminator,
     "multi_period": MultiPeriodDiscriminator,

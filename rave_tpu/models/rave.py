@@ -68,11 +68,6 @@ class RAVE(nn.Module):
     def setup(self):
         cfg = self.cfg
         ss = self.ss
-        if cfg.n_band > 1:
-            self.pqmf = PQMF(attenuation=cfg.pqmf_attenuation,
-                             n_band=cfg.n_band, ss=ss)
-        else:
-            self.pqmf = None
 
         # the voice-conversion fork feeds the raw (un-reparametrised)
         # latent to the decoder and trains the encoder via CE only
@@ -87,6 +82,15 @@ class RAVE(nn.Module):
         enc_ratios = cfg.encoder_ratios or cfg.ratios
         enc_dilations = cfg.encoder_dilations or cfg.dilations
 
+        # thread the PQMF analysis delay into the encoder so its strided
+        # convs align the composite streaming delay exactly
+        if cfg.n_band > 1 and not cfg.use_mel_encoder:
+            from ..ops.pqmf import _pqmf_kernels
+            _, enc_in_delay, _, _ = _pqmf_kernels(cfg.pqmf_attenuation,
+                                                  cfg.n_band)
+        else:
+            enc_in_delay = 0
+
         if cfg.encoder_version == "v2":
             self.encoder = EncoderV2(
                 data_size=data_size, capacity=cfg.capacity,
@@ -95,6 +99,7 @@ class RAVE(nn.Module):
                 dilations=enc_dilations, keep_dim=cfg.keep_dim,
                 activation=cfg.activation, weight_norm=cfg.weight_norm,
                 adain=cfg.adain, gru_layers=cfg.encoder_gru_layers,
+                in_delay=enc_in_delay,
                 train_mode=self.train_mode, ss=ss)
         else:
             self.encoder = EncoderV1(
@@ -143,6 +148,22 @@ class RAVE(nn.Module):
                 dilations_list=cfg.v1_dilations_list,
                 activation=cfg.activation, weight_norm=cfg.weight_norm,
                 ss=ss)
+
+        if cfg.n_band > 1:
+            # synthesis-side frame parity: band stream entering inverse
+            # lags the offline graph by enc (latent frames -> band frames)
+            # + decoder band-frame delay; odd lag flips the reverse_half
+            # mask (see ops/pqmf.py)
+            enc_ratio_total = 1
+            for r in enc_ratios:
+                enc_ratio_total *= r
+            band_delay = (self.encoder.out_delay * enc_ratio_total
+                          + self.decoder.out_delay)
+            self.pqmf = PQMF(attenuation=cfg.pqmf_attenuation,
+                             n_band=cfg.n_band,
+                             inverse_parity=band_delay % 2, ss=ss)
+        else:
+            self.pqmf = None
 
         if cfg.speaker_embedding_size > 0:
             self.speaker_encoder = SpeakerRAVE()

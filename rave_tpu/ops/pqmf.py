@@ -57,7 +57,8 @@ def _loss_wc(wc: float, atten: float, M: int, N: Optional[int]) -> float:
 @lru_cache(maxsize=None)
 def get_prototype(atten: float, M: int, N: Optional[int] = None) -> np.ndarray:
     """Optimised prototype lowpass (reference ``pqmf.py:83-89``)."""
-    wc = fmin(lambda w: _loss_wc(float(w), atten, M, N), 1 / M, disp=0)[0]
+    wc = fmin(lambda w: _loss_wc(float(np.ravel(w)[0]), atten, M, N),
+              1 / M, disp=0)[0]
     return kaiser_filter(float(wc), atten, N)
 
 
@@ -127,11 +128,17 @@ def _pqmf_kernels(attenuation: float, n_band: int):
     return (Ha.astype(np.float32), pad_a, Hs.astype(np.float32), pad_s)
 
 
-def reverse_half(x: jax.Array) -> jax.Array:
+def reverse_half(x: jax.Array, parity: int = 0) -> jax.Array:
     """Sign trick (reference ``pqmf.py:13-17``): negate odd bands at even
-    frames.  Layout here is ``(B, T_frames, M)``."""
+    frames.  Layout here is ``(B, T_frames, M)``.
+
+    ``parity`` shifts the frame-parity reference: in streaming mode the
+    band stream reaching the synthesis side lags the offline graph by the
+    model's accumulated band-frame delay; when that lag is odd the mask
+    must flip so alias cancellation matches the offline graph.
+    """
     T, M = x.shape[-2], x.shape[-1]
-    frame_even = (jnp.arange(T) % 2 == 0)[:, None]
+    frame_even = ((jnp.arange(T) + parity) % 2 == 0)[:, None]
     band_odd = (jnp.arange(M) % 2 == 1)[None, :]
     mask = jnp.where(frame_even & band_odd, -1.0, 1.0).astype(x.dtype)
     return x * mask
@@ -178,6 +185,9 @@ class PQMF(nn.Module):
     """
     attenuation: float = 100.0
     n_band: int = 16
+    # frame-parity of the band stream entering ``inverse`` relative to the
+    # offline graph (odd accumulated model delay in streaming mode -> 1)
+    inverse_parity: int = 0
     ss: StreamSetup = StreamSetup()
 
     @property
@@ -221,7 +231,7 @@ class PQMF(nn.Module):
             return y
         _, _, Hs, pad_s = self._kernels
         M = self.n_band
-        y = reverse_half(y)
+        y = reverse_half(y, self.inverse_parity if self.ss.streaming else 0)
         phases = self._inv.apply_kernel(y, jnp.asarray(Hs)) * M  # (B, T/M, M)
         # reference flips the phase axis before interleaving
         # (``pqmf.py:281-283``)

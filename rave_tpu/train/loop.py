@@ -32,7 +32,8 @@ from flax.core import freeze, unfreeze
 
 from ..config import RAVEConfig
 from ..models.discriminators import (CombineDiscriminators, DISCRIMINATORS,
-                                     DescriptDiscriminator)
+                                     DescriptDiscriminator,
+                                     member_sub_count)
 from ..models.rave import RAVE
 from ..ops import losses as L
 from . import schedules
@@ -133,23 +134,35 @@ def _feature_matching(cfg, feats_real, feats_fake):
     return total
 
 
+def _sub_weights(cfg) -> Optional[list]:
+    d = cfg.discriminator
+    if d.kind != "combine" or d.member_weights is None:
+        return None
+    w = []
+    for m, mw in zip(d.members, d.member_weights):
+        w.extend([float(mw)] * member_sub_count(m))
+    return w
+
+
 def _gan_terms(cfg, disc, dis_params, x, y):
     """Returns (loss_dis, loss_adv, feature_matching).
 
     Implements both the upstream path (feature matching + gan_loss on
     scores, model.py:417-448 commented-in upstream) and the fork's path
-    (UnivNet LSGAN + 0.1 * MelGAN hinge, model.py:461-519) through the
-    same interface: the discriminator config decides what runs.
+    (UnivNet LSGAN + 0.1 * MelGAN hinge via member_weights,
+    model.py:461-519) through the same interface.
     """
     gan = L.GAN_LOSSES[cfg.gan_loss]
     feats_real = disc.apply({"params": dis_params}, x)
     feats_fake = disc.apply({"params": dis_params}, y)
+    weights = _sub_weights(cfg)
     loss_dis = jnp.float32(0.0)
     loss_adv = jnp.float32(0.0)
-    for fr, ff in zip(feats_real, feats_fake):
+    for i, (fr, ff) in enumerate(zip(feats_real, feats_fake)):
         _dis, _adv = gan(fr[-1], ff[-1])
-        loss_dis = loss_dis + _dis
-        loss_adv = loss_adv + _adv
+        w = weights[i] if weights is not None else 1.0
+        loss_dis = loss_dis + w * _dis
+        loss_adv = loss_adv + w * _adv
     fm = _feature_matching(cfg, feats_real, feats_fake)
     return loss_dis, loss_adv, fm
 

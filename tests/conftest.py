@@ -8,7 +8,12 @@ while adding the multi-device dimension the reference lacks (SURVEY §4):
 import os
 
 # force CPU: the sandbox exports JAX_PLATFORMS=axon (tunnelled TPU) which
-# must never be used by the test suite (single-tenant, slow remote compile)
+# must never be used by the test suite (single-tenant, slow remote
+# compile).  The axon PJRT plugin registers itself from sitecustomize
+# whenever PALLAS_AXON_POOL_IPS is set and overrides JAX_PLATFORMS, so it
+# must be cleared BEFORE the interpreter starts for spawned workers; for
+# this process we clear it pre-import and force a cpu platform.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -18,8 +23,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compile cache: compiles dominate wall-clock on both the
-# tunnelled TPU (remote compile) and CPU CI; cache them across runs
+# persistent compile cache, keyed per platform (a shared dir mixes
+# remote-TPU and host-CPU AOT results -> machine-feature mismatch noise)
+_plat = jax.default_backend()
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("RAVE_TPU_CACHE", "/root/.jax_cache"))
+                  os.environ.get("RAVE_TPU_CACHE",
+                                 f"/root/.jax_cache_{_plat}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -32,12 +32,19 @@ def run_streaming(module, params, x, chunk):
 
 
 def check(off, st, x, chunk, delay, up_ratio=1, atol=2e-4):
+    """Reference idiom (tests/test_residual.py:59-68): compare
+    y_off[d:-d] vs y_str[2d:] -- the first d aligned frames differ by
+    construction (offline zero-pads intermediates; streaming propagates
+    computed pre-signal values)."""
     params = jax.jit(off.init)(jax.random.PRNGKey(1), x)["params"]
     y_off = jax.jit(off.apply)({"params": params}, x)
     y_str = run_streaming(st, params, x, chunk)
-    n = y_off.shape[1]
-    a = np.asarray(y_off[:, :n - delay]) if delay else np.asarray(y_off)
-    b = np.asarray(y_str[:, delay:]) if delay else np.asarray(y_str)
+    d = delay
+    if d:
+        a = np.asarray(y_off[:, d:-d])
+        b = np.asarray(y_str[:, 2 * d:])
+    else:
+        a, b = np.asarray(y_off), np.asarray(y_str)
     np.testing.assert_allclose(a, b, atol=atol, rtol=1e-3)
 
 
@@ -79,8 +86,9 @@ def test_encoder_v2_stream():
     assert y_off.shape == (1, 32, 4)
     y_str = run_streaming(st, params, x, 32)
     d = st.out_delay
-    np.testing.assert_allclose(np.asarray(y_off[:, :32 - d]),
-                               np.asarray(y_str[:, d:]), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(y_off[:, d:32 - d]),
+                               np.asarray(y_str[:, 2 * d:]),
+                               atol=2e-4, rtol=1e-3)
 
 
 GEN_KW = dict(data_size=4, capacity=4, ratios=(2, 2), latent_size=4,
@@ -97,8 +105,9 @@ def test_generator_v2_stream():
     assert y_off.shape == (1, 128, 4)
     y_str = run_streaming(st, params, z, 8)
     d = st.out_delay
-    np.testing.assert_allclose(np.asarray(y_off[:, :128 - d]),
-                               np.asarray(y_str[:, d:]), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(y_off[:, d:128 - d]),
+                               np.asarray(y_str[:, 2 * d:]),
+                               atol=2e-4, rtol=1e-3)
 
 
 def test_causal_encoder_zero_delay():
