@@ -268,6 +268,19 @@ class RAVE(nn.Module):
     def __call__(self, x: jax.Array, rng: Optional[jax.Array] = None):
         return self.decode(self.encode(x, rng), rng)
 
+    def warmup(self, x: jax.Array):
+        """Exercise every parameterised path once -- used by init so all
+        params exist (``__call__`` alone skips the CE projection and the
+        training-only reparametrisation)."""
+        y = self(x)
+        bands = self.pqmf_forward(x)
+        z = self.encode_input(x, bands)
+        if self.ce_projection is not None:
+            _ = self.project_units(z)
+        _ = self.reparametrize(z if self.cfg.speaker_embedding_size == 0
+                               else z, train=False)
+        return y
+
     # voice conversion: encode source content, condition on target timbre
     def convert(self, x: jax.Array, target: jax.Array,
                 rng: Optional[jax.Array] = None):

@@ -143,6 +143,9 @@ class Conv1d(nn.Module):
             xx = x
             pad = [(plan.pad_left, plan.pad_right)]
 
+        # NOTE: preferred_element_type must equal the operand dtype here --
+        # mixing (bf16 operands, f32 preferred) breaks the conv VJP's dtype
+        # matching; the TPU MXU accumulates bf16 convs in f32 internally.
         y = jax.lax.conv_general_dilated(
             xx, kernel,
             window_strides=(self.stride,),
@@ -150,8 +153,8 @@ class Conv1d(nn.Module):
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.groups,
-            preferred_element_type=dtype if dtype != jnp.bfloat16 else jnp.float32,
-        ).astype(dtype)
+            preferred_element_type=dtype,
+        )
         if bias is not None:
             y = y + bias.astype(dtype)
         return y
@@ -226,8 +229,8 @@ class ConvTranspose1d(nn.Module):
                 padding=[(k - 1, k - 1)],
                 lhs_dilation=(s,),
                 dimension_numbers=("NWC", "WIO", "NWC"),
-                preferred_element_type=dtype if dtype != jnp.bfloat16 else jnp.float32,
-            ).astype(dtype)
+                preferred_element_type=dtype,
+            )
 
         if self.ss.streaming:
             y_full = full(x)  # (B, (T-1)*s + k, F)

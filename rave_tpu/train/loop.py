@@ -91,8 +91,10 @@ def init_state(cfg: RAVEConfig, rng: jax.Array,
     r = jax.random.split(rng, 6)
     rngs = {"params": r[0], "latent": r[1], "noise": r[2], "quantizer": r[3]}
     # jit the inits: eager init dispatches one tiny XLA program per
-    # parameter, which is pathological under remote-compile backends
-    gen_vars = jax.jit(model.init)(rngs, x)
+    # parameter, which is pathological under remote-compile backends.
+    # init through ``warmup`` so every parameterised path materialises.
+    gen_vars = jax.jit(
+        lambda r, xx: model.init(r, xx, method=RAVE.warmup))(rngs, x)
     gen_params = unfreeze(gen_vars["params"])
     model_state = {k: unfreeze(v) for k, v in gen_vars.items()
                    if k not in ("params", "cache")}

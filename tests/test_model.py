@@ -71,3 +71,18 @@ def test_latent_rate():
     z = model.apply(variables, x, method=RAVE.encode,
                     rngs={"latent": jax.random.PRNGKey(4)})
     assert z.shape == (1, 4096 // cfg.total_ratio(), cfg.latent_size)
+
+
+def test_hybrid_mel_encoder():
+    """Hybrid config: mel front end + GRU decoder (configs/hybrid.gin;
+    rates made consistent, see config.py)."""
+    cfg = build_config(["hybrid"], ["capacity=4", "n_signal=8192",
+                                    "batch_size=1"])
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 8192, 1)) * 0.1
+    variables = jax.jit(model.init)(_rngs(), x)
+    y = jax.jit(model.apply)(variables, x,
+                             rngs={"latent": jax.random.PRNGKey(4),
+                                   "noise": jax.random.PRNGKey(5)})
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()

@@ -81,3 +81,43 @@ def test_eval_step():
     assert np.isfinite(float(m["validation"]))
     assert y.shape == (cfg.batch_size, cfg.n_signal, 1)
     assert z.shape[-1] == cfg.latent_size
+
+
+def test_fork_train_step_with_units_and_speaker():
+    """The voice-conversion fork path: CE loss on precomputed units,
+    frozen speaker embedding, MR-STFT reconstruction, detached latent
+    (reference model.py:301-592)."""
+    cfg = build_config(["v2_fork"], TINY)
+    cfg.discriminator.kind = "multi_scale"
+    cfg.discriminator.capacity = 4
+    cfg.discriminator.n_layers = 2
+    cfg.discriminator.member_weights = None
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    batch = make_batch(cfg)
+    batch["units"] = jax.random.randint(jax.random.PRNGKey(3),
+                                        (cfg.batch_size, 148), 0,
+                                        cfg.hubert_units)
+    p_enc0 = np.asarray(jax.tree.leaves(state.gen_params["encoder"])[0]).copy()
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    m = jax.tree.map(float, m)
+    assert np.isfinite(m["loss_ce"]) and m["loss_ce"] > 0
+    assert np.isfinite(m["loss_audio"])
+    p_enc1 = np.asarray(jax.tree.leaves(state.gen_params["encoder"])[0])
+    assert not np.allclose(p_enc0, p_enc1), "encoder got no CE gradient"
+    # frozen speaker encoder must not move
+    s0 = jax.tree.leaves(state.gen_params["speaker_encoder"])[0]
+    state, _ = step(state, batch, jax.random.PRNGKey(2))
+    s1 = jax.tree.leaves(state.gen_params["speaker_encoder"])[0]
+    assert np.allclose(np.asarray(s0), np.asarray(s1))
+
+
+def test_ema_weights_track():
+    cfg = tiny_cfg(["ema_decay=0.5"])
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    assert state.ema_params is not None
+    step = jax.jit(make_train_step(cfg))
+    state, _ = step(state, make_batch(cfg), jax.random.PRNGKey(1))
+    e = np.asarray(jax.tree.leaves(state.ema_params)[0])
+    p = np.asarray(jax.tree.leaves(state.gen_params)[0])
+    assert not np.allclose(e, p), "EMA should lag params"
