@@ -58,6 +58,13 @@ def main(argv=None):
     dn.add_argument("--output_path", required=True)
     dn.add_argument("--sampling_rate", type=int, default=44100)
 
+    rd = sub.add_parser("remote_dataset",
+                        help="serve a preprocessed dataset over HTTP "
+                             "(reference scripts/remote_dataset.py)")
+    rd.add_argument("--db_path", required=True)
+    rd.add_argument("--host", default="0.0.0.0")
+    rd.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
 
     if args.command == "preprocess":
@@ -94,6 +101,19 @@ def main(argv=None):
         res = decode_noise_corpus(args.input_path, args.output_path,
                                   args.sampling_rate)
         print(f"decoded {len(res)} noise files")
+    elif args.command == "remote_dataset":
+        from .data.dataset import AudioDataset
+        from .data.remote import serve_dataset
+        ds = AudioDataset(args.db_path)
+        server = serve_dataset(ds, host=args.host, port=args.port)
+        print(f"serving {len(ds)} items on {args.host}:{args.port} "
+              "(ctrl-c to stop)")
+        try:
+            import time
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            server.shutdown()
 
 
 if __name__ == "__main__":

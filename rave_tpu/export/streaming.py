@@ -81,6 +81,29 @@ class StreamingRAVE:
         self._forward = jax.jit(forward)
         self._encode = jax.jit(encode)
         self._decode = jax.jit(decode)
+
+        if cfg.latent_head == "discrete":
+            # RVQ-indices surface (reference DiscreteScriptedRAVE,
+            # export.py:503-517): the compact latent is integer codes.
+            def encode_idx(cache, x):
+                idx, upd = self.model.apply(
+                    {"params": self.params, "cache": cache,
+                     **self.aux_state},
+                    x, method=RAVE.encode_indices, mutable=["cache"])
+                return idx, upd["cache"]
+
+            def decode_idx(cache, idx):
+                y, upd = self.model.apply(
+                    {"params": self.params, "cache": cache,
+                     **self.aux_state},
+                    idx, method=RAVE.decode_indices, mutable=["cache"],
+                    rngs={"latent": jax.random.PRNGKey(6),
+                          "noise": jax.random.PRNGKey(5)})
+                return y, upd["cache"]
+
+            self._encode_idx = jax.jit(encode_idx)
+            self._decode_idx = jax.jit(decode_idx)
+
         self.cache = self.init_cache
 
     # -- latency ----------------------------------------------------------
@@ -146,6 +169,16 @@ class StreamingRAVE:
 
     def decode(self, z: np.ndarray) -> np.ndarray:
         y, self.cache = self._decode(self.cache, jnp.asarray(z))
+        return np.asarray(y)
+
+    def encode_indices(self, x_chunk: np.ndarray) -> np.ndarray:
+        """Audio chunk -> RVQ indices (discrete head only)."""
+        idx, self.cache = self._encode_idx(self.cache, jnp.asarray(x_chunk))
+        return np.asarray(idx)
+
+    def decode_indices(self, idx: np.ndarray) -> np.ndarray:
+        """RVQ indices -> audio chunk (discrete head only)."""
+        y, self.cache = self._decode_idx(self.cache, jnp.asarray(idx))
         return np.asarray(y)
 
     def process_file(self, x: np.ndarray) -> np.ndarray:

@@ -71,19 +71,26 @@ class EuclideanCodebook(nn.Module):
                 return x
         return x
 
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False):
-        """x: (N, dim) flattened vectors -> (quantized, indices)."""
+    def setup(self):
         K, D = self.codebook_size, self.dim
-        embed = self.variable("quantizer", "embed",
-                              lambda: jnp.zeros((K, D), jnp.float32))
-        embed_avg = self.variable("quantizer", "embed_avg",
-                                  lambda: jnp.zeros((K, D), jnp.float32))
-        cluster_size = self.variable("quantizer", "cluster_size",
-                                     lambda: jnp.zeros((K,), jnp.float32))
-        inited = self.variable(
+        self._embed = self.variable("quantizer", "embed",
+                                    lambda: jnp.zeros((K, D), jnp.float32))
+        self._embed_avg = self.variable("quantizer", "embed_avg",
+                                        lambda: jnp.zeros((K, D), jnp.float32))
+        self._cluster_size = self.variable("quantizer", "cluster_size",
+                                           lambda: jnp.zeros((K,), jnp.float32))
+        self._inited = self.variable(
             "quantizer", "inited",
             lambda: jnp.asarray(0.0 if self.kmeans_init else 1.0, jnp.float32))
+
+    def decode(self, idx: jax.Array) -> jax.Array:
+        return self._embed.value[idx]
+
+    def __call__(self, x: jax.Array, train: bool = False):
+        """x: (N, dim) flattened vectors -> (quantized, indices)."""
+        K = self.codebook_size
+        embed, embed_avg = self._embed, self._embed_avg
+        cluster_size, inited = self._cluster_size, self._inited
 
         xf = x.astype(jnp.float32)
 
@@ -146,8 +153,8 @@ class VectorQuantization(nn.Module):
     commitment_weight: float = 1.0
     axis_name: Optional[str] = None
 
-    def _codebook(self):
-        return EuclideanCodebook(
+    def setup(self):
+        self.codebook = EuclideanCodebook(
             dim=self.codebook_dim or self.dim,
             codebook_size=self.codebook_size,
             kmeans_init=self.kmeans_init, kmeans_iters=self.kmeans_iters,
@@ -155,12 +162,11 @@ class VectorQuantization(nn.Module):
             threshold_ema_dead_code=self.threshold_ema_dead_code,
             axis_name=self.axis_name)
 
-    @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         """x: (B, T, dim) -> (quantized, indices, commit_loss)."""
         B, T, D = x.shape
         flat = x.reshape(-1, D)
-        q, idx = self._codebook()(flat, train=train)
+        q, idx = self.codebook(flat, train=train)
         q = q.reshape(B, T, D)
         idx = idx.reshape(B, T)
         loss = jnp.float32(0.0)
@@ -172,15 +178,13 @@ class VectorQuantization(nn.Module):
             q = q_st
         return q, idx, loss
 
-    @nn.compact
     def encode(self, x: jax.Array) -> jax.Array:
         B, T, D = x.shape
-        _, idx = self._codebook()(x.reshape(-1, D), train=False)
+        _, idx = self.codebook(x.reshape(-1, D), train=False)
         return idx.reshape(B, T)
 
     def decode(self, idx: jax.Array) -> jax.Array:
-        embed = self.get_variable("quantizer", "embed")
-        return embed[idx]
+        return self.codebook.decode(idx)
 
 
 class ResidualVectorQuantization(nn.Module):

@@ -265,6 +265,33 @@ class RAVE(nn.Module):
         y = self.decode_bands(z, rng)
         return self.pqmf_inverse(y)
 
+    def encode_indices(self, x: jax.Array) -> jax.Array:
+        """Audio -> RVQ stage indices (B, n_quantizers, T_z); the discrete
+        head's compact user-facing latent (reference
+        ``DiscreteScriptedRAVE.post_process_latent``,
+        ``scripts/export.py:503-510``)."""
+        if not isinstance(self.latent, DiscreteHead):
+            raise ValueError("encode_indices requires latent_head=discrete")
+        bands = self.pqmf_forward(x)
+        z = self.encode_input(x, bands)
+        return self.latent.encode(z)
+
+    def decode_indices(self, idx: jax.Array,
+                       rng: Optional[jax.Array] = None) -> jax.Array:
+        """RVQ stage indices -> audio (reference
+        ``DiscreteScriptedRAVE.pre_process_latent``,
+        ``scripts/export.py:512-517``).  Noise-augmentation channels are
+        re-sampled like the reference does at decode time."""
+        if not isinstance(self.latent, DiscreteHead):
+            raise ValueError("decode_indices requires latent_head=discrete")
+        z = self.latent.decode(idx)
+        if self.cfg.noise_augmentation:
+            noise = jax.random.normal(
+                self.make_rng("latent") if rng is None else rng,
+                (*z.shape[:2], self.cfg.noise_augmentation), z.dtype)
+            z = jnp.concatenate([z, noise], axis=-1)
+        return self.decode(z, rng)
+
     def __call__(self, x: jax.Array, rng: Optional[jax.Array] = None):
         return self.decode(self.encode(x, rng), rng)
 

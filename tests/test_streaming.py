@@ -100,3 +100,27 @@ def test_realtime_host_passthrough():
     # output equals input modulo leading zeros from pull-before-ready
     lead = nz[0]
     np.testing.assert_allclose(y[lead:], x[: 1024 - lead], atol=1e-6)
+
+
+def test_discrete_indices_streaming_roundtrip():
+    """RVQ-indices surface (reference DiscreteScriptedRAVE,
+    export.py:503-517): audio chunk -> integer codes -> audio chunk."""
+    cfg = build_config(["discrete"], TINY + [
+        "capacity=4", "latent_size=8", "num_quantizers=2",
+        "codebook_size=32"])
+    cfg.discriminator.capacity = 4
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, 16384, 1)) * 0.3
+    variables = jax.jit(model.init)(_rngs(), x)
+    params = variables["params"]
+
+    sr = StreamingRAVE(cfg, params, chunk_size=2048)
+    chunk = np.asarray(x[:, :2048])
+    idx = sr.encode_indices(chunk)
+    t_z = 2048 // cfg.total_ratio()
+    assert idx.shape == (1, 2, t_z)
+    assert np.issubdtype(idx.dtype, np.integer)
+    assert idx.min() >= 0 and idx.max() < 32
+    y = sr.decode_indices(idx)
+    assert y.shape == (1, 2048, 1)
+    assert np.isfinite(y).all()
