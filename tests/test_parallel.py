@@ -64,3 +64,75 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(min(4, jax.device_count()))
+
+
+def test_time_sharded_forward_matches_offline():
+    """Overlap-save context parallelism: forward over a 4-way time mesh
+    == offline forward in the interior (halo >= receptive field)."""
+    from rave_tpu.models.rave import RAVE
+    from rave_tpu.parallel.time_shard import (halo_for, make_time_mesh,
+                                              time_sharded)
+
+    cfg = build_config(["v2"], [
+        "capacity=4", "n_signal=16384", "batch_size=1",
+        "ratios=[2,2]", "dilations=[[1,3],[1,3]]"])
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 16384, 1)) * 0.3
+    rngs = {"params": jax.random.PRNGKey(0),
+            "latent": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2),
+            "quantizer": jax.random.PRNGKey(3)}
+    variables = jax.jit(model.init)(rngs, x)
+    params = variables["params"]
+
+    def fwd(a):
+        return model.apply({"params": params}, a,
+                           rngs={"latent": jax.random.PRNGKey(4)})
+
+    y_off = jax.jit(fwd)(x)
+
+    hop = cfg.total_ratio()
+    halo = halo_for(4096, hop)  # generous: > full RF of the tiny stack
+    mesh = make_time_mesh(4)
+    y_sh = jax.jit(time_sharded(fwd, mesh, halo, hop))(x)
+
+    assert y_sh.shape == y_off.shape
+    # compare away from the global edges (per-layer edge padding differs
+    # from input-level zero extension within one RF of the clip ends)
+    a = np.asarray(y_off[0, halo:-halo, 0])
+    b = np.asarray(y_sh[0, halo:-halo, 0])
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_time_sharded_encode_ratio():
+    """Encode (2048x downsample map) through the ratio-aware wrapper."""
+    from rave_tpu.models.rave import RAVE
+    from rave_tpu.parallel.time_shard import (halo_for, make_time_mesh,
+                                              time_sharded_ratio)
+
+    cfg = build_config(["v2"], [
+        "capacity=4", "n_signal=16384", "batch_size=1",
+        "ratios=[2,2]", "dilations=[[1,3],[1,3]]"])
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 16384, 1)) * 0.3
+    rngs = {"params": jax.random.PRNGKey(0),
+            "latent": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2),
+            "quantizer": jax.random.PRNGKey(3)}
+    variables = jax.jit(model.init)(rngs, x)
+    params = variables["params"]
+
+    def enc(a):
+        return model.apply({"params": params}, a, method=RAVE.encode,
+                           rngs={"latent": jax.random.PRNGKey(4)})
+
+    z_off = jax.jit(enc)(x)
+    hop = cfg.total_ratio()
+    halo = halo_for(4096, hop)
+    mesh = make_time_mesh(4)
+    z_sh = jax.jit(time_sharded_ratio(enc, mesh, halo, hop, hop))(x)
+    assert z_sh.shape == z_off.shape
+    hz = halo // hop
+    np.testing.assert_allclose(np.asarray(z_off[0, hz:-hz]),
+                               np.asarray(z_sh[0, hz:-hz]),
+                               rtol=2e-3, atol=2e-4)
