@@ -136,6 +136,7 @@ class RAVEConfig:
 
     # numerics
     compute_dtype: str = "float32"    # "bfloat16" for the fast path
+    fused_kernels: bool = False       # Pallas fused dilated units (TPU)
 
     def effective_encoder_data_size(self) -> int:
         return self.encoder_data_size or self.n_band

@@ -180,8 +180,27 @@ class DilatedUnit(nn.Module):
     def out_delay(self) -> int:
         return conv_delay(self.kernel_size, 1, self.dilation, self.ss.mode)
 
+    def fusable(self, in_ch: int) -> bool:
+        """Whether the Pallas fused kernel can run this unit: offline,
+        plain leaky_relu, square channels in the MXU-friendly range."""
+        return (not self.ss.streaming
+                and self.activation == "leaky_relu"
+                and in_ch == self.dim
+                and self.dim % 128 == 0 and self.dim <= 512)
+
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, weights_only: bool = False):
+        if weights_only:
+            # create the identical param tree but hand the resolved
+            # kernels back for the fused Pallas path (see Residual)
+            w1, b1 = Conv1d(features=self.dim, kernel_size=self.kernel_size,
+                            dilation=self.dilation,
+                            weight_norm=self.weight_norm,
+                            ss=self.ss)(x, return_weights=True)
+            w2, b2 = Conv1d(features=self.dim, kernel_size=1,
+                            weight_norm=self.weight_norm,
+                            ss=self.ss)(x, return_weights=True)
+            return (w1, b1), (w2, b2)
         y = Activation(self.activation)(x)
         y = Conv1d(features=self.dim, kernel_size=self.kernel_size,
                    dilation=self.dilation, weight_norm=self.weight_norm,
@@ -195,14 +214,31 @@ class DilatedUnit(nn.Module):
 class Residual(nn.Module):
     """x + f(x) with the skip path delayed to match f's streaming delay
     (reference ``Residual`` + ``cc.AlignBranches``,
-    ``rave/blocks.py:32-47``)."""
+    ``rave/blocks.py:32-47``).
+
+    With ``fused=True`` and a fusable :class:`DilatedUnit` inner, the
+    whole act->conv->act->1x1->add chain runs as one Pallas kernel
+    (:func:`rave_tpu.ops.pallas.residual_unit.fused_dilated_unit`) --
+    same params, same math, one HBM round trip."""
     inner: nn.Module
     inner_delay: int
     ss: StreamSetup = StreamSetup()
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = self.inner(x)
+        du = self.inner
+        if (self.fused and isinstance(du, DilatedUnit)
+                and du.fusable(x.shape[-1])):
+            from ..ops.delay import get_padding
+            from ..ops.pallas.residual_unit import fused_dilated_unit
+            (w1, b1), (w2, b2) = du(x, weights_only=True)
+            pl_, pr_ = get_padding(du.kernel_size, 1, du.dilation,
+                                   self.ss.mode)
+            C = w2.shape[-1]
+            return fused_dilated_unit(x, w1, b1, w2.reshape(C, C), b2,
+                                      du.dilation, pl_, pr_)
+        y = du(x)
         skip = Delay(frames=self.inner_delay, ss=self.ss)(x)
         return y + skip
 
@@ -385,6 +421,7 @@ class EncoderV2(nn.Module):
     adain: bool = False
     gru_layers: int = 0
     train_mode: bool = True
+    fused: bool = False
     # accumulated delay of the input stream (e.g. the PQMF analysis delay)
     # in input-rate frames: threads into the strided convs' alignment so
     # composite streaming delays stay integral
@@ -444,7 +481,7 @@ class EncoderV2(nn.Module):
                                     activation=self.activation,
                                     weight_norm=self.weight_norm, ss=self.ss)
                 x = Residual(inner=inner, inner_delay=kw["inner_delay"],
-                             ss=self.ss)(x)
+                             ss=self.ss, fused=self.fused)(x)
             elif kind == "down":
                 x = Activation(self.activation)(x)
                 x = Conv1d(features=kw["features"],
@@ -481,6 +518,7 @@ class GeneratorV2(nn.Module):
     adain: bool = False
     gru_layers: int = 0
     train_mode: bool = True
+    fused: bool = False
     ss: StreamSetup = StreamSetup()
 
     def _plan(self):
@@ -534,7 +572,7 @@ class GeneratorV2(nn.Module):
                                     dilation=dil, activation=self.activation,
                                     weight_norm=self.weight_norm, ss=self.ss)
                 x = Residual(inner=inner, inner_delay=inner.out_delay,
-                             ss=self.ss)(x)
+                             ss=self.ss, fused=self.fused)(x)
                 d += inner.out_delay
         x = Activation(self.activation)(x)
 

@@ -99,7 +99,7 @@ class RAVE(nn.Module):
                 dilations=enc_dilations, keep_dim=cfg.keep_dim,
                 activation=cfg.activation, weight_norm=cfg.weight_norm,
                 adain=cfg.adain, gru_layers=cfg.encoder_gru_layers,
-                in_delay=enc_in_delay,
+                in_delay=enc_in_delay, fused=cfg.fused_kernels,
                 train_mode=self.train_mode, ss=ss)
         else:
             self.encoder = EncoderV1(
@@ -138,6 +138,7 @@ class RAVE(nn.Module):
                 noise_bands=cfg.noise_bands, activation=cfg.activation,
                 weight_norm=cfg.weight_norm, adain=cfg.adain,
                 gru_layers=cfg.decoder_gru_layers,
+                fused=cfg.fused_kernels,
                 train_mode=self.train_mode, ss=ss)
         else:
             self.decoder = GeneratorV1(

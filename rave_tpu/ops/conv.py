@@ -105,7 +105,12 @@ class Conv1d(nn.Module):
         return self.plan.out_delay
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 return_weights: bool = False):
+        """Apply the conv; with ``return_weights=True``, only create the
+        parameters and return ``(kernel, bias)`` (weight-norm resolved)
+        so a caller can feed them to a fused Pallas kernel -- the param
+        tree is identical either way."""
         plan = self.plan
         in_ch = x.shape[-1]
         if in_ch % self.groups:
@@ -128,6 +133,11 @@ class Conv1d(nn.Module):
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
+
+        if return_weights:
+            b = (bias.astype(dtype) if bias is not None
+                 else jnp.zeros((self.features,), dtype))
+            return kernel, b
 
         if self.ss.streaming:
             if plan.cache_len > 0:

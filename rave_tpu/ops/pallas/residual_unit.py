@@ -48,13 +48,20 @@ def _reference_impl(x, w1, b1, w2, b2, dilation: int, pad_left: int,
     return x + y
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
             k: int, dilation: int, tile: int, res_off: int):
     # x_hbm: (B, Tp, C) in HBM -- tiles overlap by the halo, so the slice
     # is DMA'd manually (BlockSpec index maps cannot express overlap).
+    # The DMA'd window is tile + halo rounded up to 32 rows (a whole
+    # number of sublane tiles for f32/bf16/i8): Mosaic rejects unaligned
+    # dynamic memref slices.
     b = pl.program_id(0)
     i = pl.program_id(1)
-    halo = (k - 1) * dilation
+    halo = _round_up((k - 1) * dilation, 32)
     C = out_ref.shape[-1]
 
     def body(xbuf, sem):
@@ -68,10 +75,12 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
         for j in range(k):
             off = j * dilation
             acc += jnp.dot(h[off:off + tile], w1_ref[j],
+                           precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)
         y = acc + b1_ref[0].astype(jnp.float32)
         y = _lrelu(y)
         y = jnp.dot(y.astype(h.dtype), w2_ref[0],
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
         y = y + b2_ref[0].astype(jnp.float32)
         # residual tap: un-padded x[t] sits at offset res_off (== pad_left)
@@ -84,13 +93,15 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
         pltpu.VMEM((tile + halo, C), x_hbm.dtype),
         pltpu.SemaphoreType.DMA,
     )
+    # (halo >= (k-1)*dilation + res_off always holds: res_off = pad_left
+    # <= (k-1)*dilation and both terms fit the rounded window)
 
 
 def _pallas_forward(x, w1, b1, w2, b2, dilation: int, pad_left: int,
                     pad_right: int, tile: int = 256):
     B, T, C = x.shape
     k = w1.shape[0]
-    halo = (k - 1) * dilation
+    halo = _round_up((k - 1) * dilation, 32)  # sublane-aligned DMA window (32 covers f32/bf16/i8 tiling)
     # pre-pad left/right; output tile i covers output frames
     # [i*tile, (i+1)*tile) and reads padded input [i*tile, i*tile+tile+halo)
     n_tiles = pl.cdiv(T, tile)

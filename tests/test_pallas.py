@@ -50,3 +50,37 @@ def test_fused_unit_grad_matches_reference():
     g2 = jax.grad(loss_ref)(w1)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=1e-2, rtol=1e-2)
+
+
+def test_fused_model_param_tree_and_output_match():
+    """fused_kernels=true must keep the identical param tree (so
+    checkpoints interchange) and the same outputs (CPU falls back to the
+    XLA reference impl; TPU runs the Pallas kernel)."""
+    from rave_tpu.config import build_config
+    from rave_tpu.models.rave import RAVE
+
+    over = ["capacity=64", "n_signal=8192", "batch_size=1",
+            "ratios=[2,2]", "dilations=[[1,3],[1,3]]"]
+    rngs = {"params": jax.random.PRNGKey(0),
+            "latent": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2),
+            "quantizer": jax.random.PRNGKey(3)}
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 8192, 1)) * 0.3
+
+    cfg0 = build_config(["v2"], over)
+    m0 = RAVE(cfg=cfg0, train_mode=False)
+    v0 = jax.jit(m0.init)(rngs, x)
+
+    cfg1 = build_config(["v2"], over + ["fused_kernels=true"])
+    m1 = RAVE(cfg=cfg1, train_mode=False)
+    v1 = jax.jit(m1.init)(rngs, x)
+
+    p0 = jax.tree.structure(v0["params"])
+    p1 = jax.tree.structure(v1["params"])
+    assert p0 == p1, "fused model changed the param tree"
+
+    r = {"latent": jax.random.PRNGKey(4), "noise": jax.random.PRNGKey(5)}
+    y0 = jax.jit(lambda v, a: m0.apply(v, a, rngs=r))(v0, x)
+    y1 = jax.jit(lambda v, a: m1.apply(v, a, rngs=r))(v0, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=2e-3, atol=2e-4)
