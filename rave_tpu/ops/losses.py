@@ -87,6 +87,90 @@ def multi_resolution_stft_loss(x: jax.Array, y: jax.Array,
     return sc / n, mag / n
 
 
+def spectral_distance(x: jax.Array, y: jax.Array, n_fft: int,
+                      sample_rate: int = 44100,
+                      norms: Sequence[str] = ("L1",),
+                      power: Optional[float] = 1.0,
+                      mel: Optional[int] = None) -> jax.Array:
+    """Single-scale (mel-)spectrogram distance (reference
+    ``SpectralDistance``, ``rave/core.py:456-499``; hop = n_fft/4,
+    uncentered like torchaudio's ``center=False``)."""
+    from .stft import mel_filterbank, stft
+
+    def spec(a):
+        s = jnp.abs(stft(a, n_fft, n_fft // 4, center=False))
+        if mel:
+            fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, mel))
+            s = s @ fb.T
+        if power is not None and power != 1.0:
+            s = s ** power
+        return s
+
+    sx, sy = spec(x), spec(y)
+    total = jnp.float32(0.0)
+    for norm in norms:
+        total = total + mean_difference(sy, sx, norm)
+    return total
+
+
+def encodec_audio_distance(x: jax.Array, y: jax.Array,
+                           scales: Sequence[int] = (32, 64, 128, 256, 512,
+                                                    1024, 2048),
+                           sample_rate: int = 44100,
+                           mel: Optional[int] = None
+                           ) -> dict[str, jax.Array]:
+    """Encodec-style L1 waveform distance + summed multi-scale spectral
+    distances (reference ``EncodecAudioDistance`` + ``WaveformDistance``,
+    ``rave/core.py:424-453``)."""
+    if x.ndim == 3:
+        x = x[..., 0]
+    if y.ndim == 3:
+        y = y[..., 0]
+    wav = mean_difference(y, x, "L1")
+    spec = jnp.float32(0.0)
+    for s in scales:
+        spec = spec + spectral_distance(x, y, s, sample_rate,
+                                        norms=("L1", "L2"), mel=mel)
+    return {"waveform_distance": wav, "spectral_distance": spec}
+
+
+def _instantaneous_frequency(phase: jax.Array) -> jax.Array:
+    """Unwrapped phase derivative along the frequency axis (reference
+    ``WeightedInstantaneousSpectralDistance``, ``rave/core.py:356-421``;
+    the reference differentiates the last axis of its (freq-last) STFT)."""
+    d = phase[..., 1:] - phase[..., :-1]
+    d = (d + jnp.pi) % (2 * jnp.pi) - jnp.pi
+    unwrapped = jnp.cumsum(d, axis=-1)
+    return unwrapped[..., 1:] - unwrapped[..., :-1]
+
+
+def weighted_instantaneous_spectral_distance(
+        x: jax.Array, y: jax.Array,
+        scales: Sequence[int] = (2048, 1024, 512, 256, 128),
+        weighted: bool = False) -> dict[str, jax.Array]:
+    """Complex multi-scale STFT distance with log1p amplitudes plus an
+    instantaneous-frequency phase term (reference ``rave/core.py:356-421``).
+    x, y: (B, T) or (B, T, 1)."""
+    from .stft import multiscale_stft
+    sx = multiscale_stft(x, scales, magnitude=False)
+    sy = multiscale_stft(y, scales, magnitude=False)
+    spec = jnp.float32(0.0)
+    phase = jnp.float32(0.0)
+    for a, b in zip(sx, sy):
+        aa, ba = jnp.abs(a), jnp.abs(b)
+        lin = mean_difference(aa, ba, "L2", relative=True)
+        log = mean_difference(jnp.log1p(aa), jnp.log1p(ba), "L1")
+        spec = spec + lin + log
+        ia = _instantaneous_frequency(jnp.angle(a))
+        ib = _instantaneous_frequency(jnp.angle(b))
+        if weighted:
+            mask = jnp.clip(jnp.log1p(aa[..., 2:]), 0.0, 1.0)
+            ia = ia * mask
+            ib = ib * mask
+        phase = phase + mean_difference(ia, ib, "L2")
+    return {"spectral_distance": spec, "phase_distance": phase}
+
+
 # ---------------- GAN objectives (reference rave/core.py:168-187) --------
 
 def hinge_gan(score_real, score_fake):

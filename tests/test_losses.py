@@ -88,3 +88,42 @@ def test_amp_to_ir_and_fft_convolve_shapes():
     sig = jnp.ones((2, 3, 4, 32))
     out = L.fft_convolve(sig, ir)
     assert out.shape == (2, 3, 4, 32)
+
+
+def test_encodec_distance_properties():
+    from rave_tpu.ops.losses import encodec_audio_distance
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4096))
+    d0 = encodec_audio_distance(x, x, scales=(256, 512))
+    assert float(d0["waveform_distance"]) == 0.0
+    assert float(d0["spectral_distance"]) == 0.0
+    y = x + 0.1 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    d1 = encodec_audio_distance(x, y, scales=(256, 512))
+    assert float(d1["waveform_distance"]) > 0
+    assert float(d1["spectral_distance"]) > 0
+
+
+def test_instantaneous_frequency_distance():
+    """Pure tones at different frequencies differ mainly in IF; the same
+    tone time-shifted by a whole period has ~zero phase distance
+    (reference WeightedInstantaneousSpectralDistance, core.py:356-421)."""
+    from rave_tpu.ops.losses import weighted_instantaneous_spectral_distance
+    t = jnp.arange(8192) / 44100.0
+    a = jnp.sin(2 * jnp.pi * 441.0 * t)[None]
+    b = jnp.sin(2 * jnp.pi * 441.0 * (t + 100.0 / 44100.0))[None]
+    c = jnp.sin(2 * jnp.pi * 882.0 * t)[None]
+    d_same = weighted_instantaneous_spectral_distance(a, a, scales=(512,))
+    d_shift = weighted_instantaneous_spectral_distance(a, b, scales=(512,))
+    d_diff = weighted_instantaneous_spectral_distance(a, c, scales=(512,))
+    assert float(d_same["phase_distance"]) == 0.0
+    assert float(d_same["spectral_distance"]) == 0.0
+    # same pitch, shifted -> far smaller IF distance than different pitch
+    assert float(d_shift["phase_distance"]) < float(d_diff["phase_distance"])
+
+
+def test_spectral_distance_mel_option():
+    from rave_tpu.ops.losses import spectral_distance
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4096))
+    y = jax.random.normal(jax.random.PRNGKey(3), (1, 4096))
+    d = spectral_distance(x, y, 512, norms=("L1", "L2"), mel=64)
+    assert float(d) > 0
+    assert float(spectral_distance(x, x, 512, mel=64)) == 0.0
