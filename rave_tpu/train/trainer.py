@@ -116,10 +116,24 @@ def train_main(args) -> None:
 
             if args.val_every and step and step % args.val_every == 0:
                 vals, zs = [], []
+                demo = None
                 for vb in val_loader:
-                    m, _, z = eval_fn(state, put(vb), jax.random.PRNGKey(2))
+                    m, y, z = eval_fn(state, put(vb), jax.random.PRNGKey(2))
                     vals.append(float(m["validation"]))
                     zs.append(np.asarray(z).reshape(-1, z.shape[-1]))
+                    if demo is None:
+                        demo = (np.asarray(vb["x"][0, :, 0]),
+                                np.asarray(y[0, :, 0]))
+                if demo is not None:
+                    # audio demos, like the reference's TB/wandb audio
+                    # logging (model.py:786-803): original + reconstruction
+                    from ..data.audio_io import save_wav
+                    adir = Path(run_dir) / "audio"
+                    adir.mkdir(exist_ok=True)
+                    save_wav(str(adir / f"step{step}_original.wav"),
+                             np.clip(demo[0], -1, 1), cfg.sampling_rate)
+                    save_wav(str(adir / f"step{step}_reconstruction.wav"),
+                             np.clip(demo[1], -1, 1), cfg.sampling_rate)
                 v = float(np.mean(vals)) if vals else float("nan")
                 logger.log(step, {"validation": v})
                 if zs and cfg.latent_head == "variational":
