@@ -44,6 +44,8 @@ def main(argv=None):
     ex.add_argument("--run", required=True)
     ex.add_argument("--streaming", action="store_true", default=True)
     ex.add_argument("--chunk_size", type=int, default=2048)
+    ex.add_argument("--stereo", action="store_true",
+                    help="fake stereo: one encoding, dual decoding")
 
     st = sub.add_parser("speaker_stats", help="per-speaker f0 statistics")
     st.add_argument("--db_path", required=True)

@@ -34,14 +34,19 @@ class StreamingRAVE:
     """Stateful chunked inference driver around the streaming model."""
 
     def __init__(self, cfg: RAVEConfig, params, chunk_size: int = 2048,
-                 batch_size: int = 1):
+                 batch_size: int = 1, stereo: bool = False):
         if chunk_size % cfg.total_ratio():
             raise ValueError(
                 f"chunk_size must be a multiple of the total stride "
                 f"{cfg.total_ratio()}, got {chunk_size}")
+        if stereo and cfg.adain:
+            # reference parity: AdaIN tracks per-batch-slot stats that the
+            # batch duplication would corrupt (export.py:116-117)
+            raise ValueError("stereo mode not supported with AdaIN")
         self.cfg = cfg
         self.chunk = chunk_size
         self.batch = batch_size
+        self.stereo = stereo
         self.model = RAVE(cfg=cfg, streaming=True, train_mode=False)
         self.params = params
 
@@ -81,6 +86,18 @@ class StreamingRAVE:
         self._forward = jax.jit(forward)
         self._encode = jax.jit(encode)
         self._decode = jax.jit(decode)
+
+        if stereo:
+            # fake stereo (reference export.py:322-337): one encoding,
+            # the decoder run on batch-duplicated z, channels = the two
+            # decodes.  The stereo decoder keeps its own 2B-batch cache.
+            z = jnp.zeros((2 * batch_size,
+                           chunk_size // cfg.total_ratio(),
+                           cfg.decoder_latent_size()), jnp.float32)
+            dec_vars = self.model.init(rngs, z, method=RAVE.decode)
+            self.init_dec_cache = jax.tree.map(jnp.zeros_like,
+                                               dec_vars.get("cache", {}))
+            self.dec_cache = self.init_dec_cache
 
         if cfg.latent_head == "discrete":
             # RVQ-indices surface (reference DiscreteScriptedRAVE,
@@ -158,8 +175,12 @@ class StreamingRAVE:
 
     def reset(self):
         self.cache = self.init_cache
+        if self.stereo:
+            self.dec_cache = self.init_dec_cache
 
     def forward(self, x_chunk: np.ndarray) -> np.ndarray:
+        if self.stereo:
+            return self.decode(self.encode(x_chunk))
         y, self.cache = self._forward(self.cache, jnp.asarray(x_chunk))
         return np.asarray(y)
 
@@ -168,6 +189,12 @@ class StreamingRAVE:
         return np.asarray(z)
 
     def decode(self, z: np.ndarray) -> np.ndarray:
+        if self.stereo:
+            zz = jnp.concatenate([jnp.asarray(z)] * 2, axis=0)
+            y, self.dec_cache = self._decode(self.dec_cache, zz)
+            B = z.shape[0]
+            return np.concatenate([np.asarray(y[:B]), np.asarray(y[B:])],
+                                  axis=-1)
         y, self.cache = self._decode(self.cache, jnp.asarray(z))
         return np.asarray(y)
 
@@ -290,7 +317,8 @@ def export_main(args) -> None:
     # scripts/export.py:560-572)
     params = state.ema_params if state.ema_params is not None \
         else state.gen_params
-    sr = StreamingRAVE(cfg, params, chunk_size=args.chunk_size)
+    sr = StreamingRAVE(cfg, params, chunk_size=args.chunk_size,
+                       stereo=getattr(args, "stereo", False))
     from ..train.latent_stats import load_latent_stats
     sr.set_latent_stats(load_latent_stats(args.run))
     out = sr.serialize(Path(args.run) / "export")

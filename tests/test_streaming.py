@@ -124,3 +124,32 @@ def test_discrete_indices_streaming_roundtrip():
     y = sr.decode_indices(idx)
     assert y.shape == (1, 2048, 1)
     assert np.isfinite(y).all()
+
+
+def test_fake_stereo_decode():
+    """Fake stereo (reference export.py:322-337): one encoding, the z
+    duplicated along batch, the two decodes become the two channels."""
+    cfg = build_config(["v2"], TINY)
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(12), (1, 16384, 1)) * 0.3
+    variables = jax.jit(model.init)(_rngs(), x)
+    params = variables["params"]
+
+    sr = StreamingRAVE(cfg, params, chunk_size=2048, stereo=True)
+    chunk = np.asarray(x[:, :2048])
+    z = sr.encode(chunk)
+    y = sr.decode(z)
+    assert y.shape == (1, 2048, 2)
+    # both channels come from identical decoders + state -> identical
+    np.testing.assert_allclose(y[..., 0], y[..., 1], atol=1e-6)
+    yf = sr.forward(chunk)
+    assert yf.shape == (1, 2048, 2)
+
+
+def test_stereo_rejects_adain():
+    cfg = build_config(["v2", "adain"], TINY)
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(13), (1, 16384, 1)) * 0.3
+    variables = jax.jit(model.init)(_rngs(), x)
+    with pytest.raises(ValueError):
+        StreamingRAVE(cfg, variables["params"], chunk_size=2048, stereo=True)
