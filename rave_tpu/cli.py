@@ -46,6 +46,9 @@ def main(argv=None):
     ex.add_argument("--chunk_size", type=int, default=2048)
     ex.add_argument("--stereo", action="store_true",
                     help="fake stereo: one encoding, dual decoding")
+    ex.add_argument("--target_sr", type=int, default=None,
+                    help="host sample rate (integer multiple of the "
+                         "model rate); adds streaming resampler stages")
 
     st = sub.add_parser("speaker_stats", help="per-speaker f0 statistics")
     st.add_argument("--db_path", required=True)

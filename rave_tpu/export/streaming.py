@@ -34,7 +34,8 @@ class StreamingRAVE:
     """Stateful chunked inference driver around the streaming model."""
 
     def __init__(self, cfg: RAVEConfig, params, chunk_size: int = 2048,
-                 batch_size: int = 1, stereo: bool = False):
+                 batch_size: int = 1, stereo: bool = False,
+                 target_sr: Optional[int] = None):
         if chunk_size % cfg.total_ratio():
             raise ValueError(
                 f"chunk_size must be a multiple of the total stride "
@@ -98,6 +99,50 @@ class StreamingRAVE:
             self.init_dec_cache = jax.tree.map(jnp.zeros_like,
                                                dec_vars.get("cache", {}))
             self.dec_cache = self.init_dec_cache
+
+        self.target_sr = target_sr
+        if target_sr is not None and target_sr != cfg.sampling_rate:
+            # host-rate adaptation (reference ScriptedRAVE resampler,
+            # export.py:377-378,404-408): kaiser resampler convs with
+            # their own streaming caches on each side of the model
+            from ..ops.conv import StreamSetup
+            from ..ops.resampler import Resampler
+            rs = Resampler(target_sr=target_sr, model_sr=cfg.sampling_rate,
+                           ss=StreamSetup(
+                               mode="causal" if cfg.causal else "centered",
+                               streaming=True))
+            self.rs_ratio = rs.ratio
+            xin = jnp.zeros((batch_size, chunk_size * rs.ratio, 1),
+                            jnp.float32)
+            dvars = rs.init(jax.random.PRNGKey(0), xin,
+                            method=Resampler.to_model_sr)
+            out_b = 2 * batch_size if stereo else batch_size
+            yin = jnp.zeros((out_b, chunk_size, 1), jnp.float32)
+            uvars = rs.init(jax.random.PRNGKey(0), yin,
+                            method=Resampler.from_model_sr)
+            self.init_down_cache = jax.tree.map(
+                jnp.zeros_like, dvars.get("cache", {}))
+            self.init_up_cache = jax.tree.map(
+                jnp.zeros_like, uvars.get("cache", {}))
+            self.down_cache = self.init_down_cache
+            self.up_cache = self.init_up_cache
+
+            def rs_down(cache, x):
+                y, upd = rs.apply({"cache": cache}, x,
+                                  method=Resampler.to_model_sr,
+                                  mutable=["cache"])
+                return y, upd["cache"]
+
+            def rs_up(cache, y):
+                z, upd = rs.apply({"cache": cache}, y,
+                                  method=Resampler.from_model_sr,
+                                  mutable=["cache"])
+                return z, upd["cache"]
+
+            self._rs_down = jax.jit(rs_down)
+            self._rs_up = jax.jit(rs_up)
+        else:
+            self.rs_ratio = 1
 
         if cfg.latent_head == "discrete":
             # RVQ-indices surface (reference DiscreteScriptedRAVE,
@@ -173,30 +218,52 @@ class StreamingRAVE:
 
     # -- stateful API (nn~-style) ----------------------------------------
 
+    @property
+    def host_chunk(self) -> int:
+        """Per-call audio chunk size at the host sample rate."""
+        return self.chunk * self.rs_ratio
+
     def reset(self):
         self.cache = self.init_cache
         if self.stereo:
             self.dec_cache = self.init_dec_cache
+        if self.rs_ratio > 1:
+            self.down_cache = self.init_down_cache
+            self.up_cache = self.init_up_cache
+
+    def _to_model_rate(self, x_chunk: np.ndarray) -> jax.Array:
+        x = jnp.asarray(x_chunk)
+        if self.rs_ratio > 1:
+            x, self.down_cache = self._rs_down(self.down_cache, x)
+        return x
+
+    def _from_model_rate(self, y: jax.Array) -> jax.Array:
+        if self.rs_ratio > 1:
+            y, self.up_cache = self._rs_up(self.up_cache, y)
+        return y
 
     def forward(self, x_chunk: np.ndarray) -> np.ndarray:
         if self.stereo:
             return self.decode(self.encode(x_chunk))
-        y, self.cache = self._forward(self.cache, jnp.asarray(x_chunk))
-        return np.asarray(y)
+        x = self._to_model_rate(x_chunk)
+        y, self.cache = self._forward(self.cache, x)
+        return np.asarray(self._from_model_rate(y))
 
     def encode(self, x_chunk: np.ndarray) -> np.ndarray:
-        z, self.cache = self._encode(self.cache, jnp.asarray(x_chunk))
+        z, self.cache = self._encode(self.cache,
+                                     self._to_model_rate(x_chunk))
         return np.asarray(z)
 
     def decode(self, z: np.ndarray) -> np.ndarray:
         if self.stereo:
             zz = jnp.concatenate([jnp.asarray(z)] * 2, axis=0)
             y, self.dec_cache = self._decode(self.dec_cache, zz)
+            y = self._from_model_rate(y)
             B = z.shape[0]
             return np.concatenate([np.asarray(y[:B]), np.asarray(y[B:])],
                                   axis=-1)
         y, self.cache = self._decode(self.cache, jnp.asarray(z))
-        return np.asarray(y)
+        return np.asarray(self._from_model_rate(y))
 
     def encode_indices(self, x_chunk: np.ndarray) -> np.ndarray:
         """Audio chunk -> RVQ indices (discrete head only)."""
@@ -209,12 +276,13 @@ class StreamingRAVE:
         return np.asarray(y)
 
     def process_file(self, x: np.ndarray) -> np.ndarray:
-        """Stream a full signal chunk by chunk."""
+        """Stream a full signal (at the host rate) chunk by chunk."""
         self.reset()
-        T = len(x) - len(x) % self.chunk
+        hc = self.host_chunk
+        T = len(x) - len(x) % hc
         outs = []
-        for i in range(0, T, self.chunk):
-            chunk = x[i:i + self.chunk].reshape(1, -1, 1)
+        for i in range(0, T, hc):
+            chunk = x[i:i + hc].reshape(1, -1, 1)
             outs.append(self.forward(chunk)[0, :, 0])
         return np.concatenate(outs)
 
@@ -318,7 +386,8 @@ def export_main(args) -> None:
     params = state.ema_params if state.ema_params is not None \
         else state.gen_params
     sr = StreamingRAVE(cfg, params, chunk_size=args.chunk_size,
-                       stereo=getattr(args, "stereo", False))
+                       stereo=getattr(args, "stereo", False),
+                       target_sr=getattr(args, "target_sr", None))
     from ..train.latent_stats import load_latent_stats
     sr.set_latent_stats(load_latent_stats(args.run))
     out = sr.serialize(Path(args.run) / "export")

@@ -153,3 +153,23 @@ def test_stereo_rejects_adain():
     variables = jax.jit(model.init)(_rngs(), x)
     with pytest.raises(ValueError):
         StreamingRAVE(cfg, variables["params"], chunk_size=2048, stereo=True)
+
+
+def test_streaming_with_host_resampler():
+    """Host-rate adaptation (reference export resampler path,
+    export.py:377-378,404-408): 2x host rate in and out."""
+    cfg = build_config(["v2"], TINY)
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(14), (1, 16384, 1)) * 0.3
+    variables = jax.jit(model.init)(_rngs(), x)
+
+    sr = StreamingRAVE(cfg, variables["params"], chunk_size=2048,
+                       target_sr=2 * cfg.sampling_rate)
+    assert sr.host_chunk == 4096
+    chunk = np.asarray(x[:, :4096])
+    y = sr.forward(chunk)
+    assert y.shape == (1, 4096, 1)          # back at the host rate
+    z = sr.encode(chunk)
+    assert z.shape[1] == 2048 // cfg.total_ratio()
+    yd = sr.decode(z)
+    assert yd.shape == (1, 4096, 1)
