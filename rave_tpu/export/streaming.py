@@ -344,6 +344,14 @@ class StreamingRAVE:
         x = jnp.zeros((self.batch, self.chunk, 1), jnp.float32)
         exp = jexport.export(self._forward)(self.cache, x)
         (out / "forward.stablehlo").write_bytes(exp.serialize())
+        # separate encode/decode steps (the nn~ surface registers all
+        # three, reference export.py:229-240)
+        z = jnp.zeros((self.batch, self.chunk // self.cfg.total_ratio(),
+                       self.cfg.decoder_latent_size()), jnp.float32)
+        (out / "encode.stablehlo").write_bytes(
+            jexport.export(self._encode)(self.cache, x).serialize())
+        (out / "decode.stablehlo").write_bytes(
+            jexport.export(self._decode)(self.cache, z).serialize())
 
         flat, treedef = jax.tree.flatten(self.cache)
         np.savez(out / "cache_init.npz",
