@@ -39,6 +39,8 @@ def main(argv=None):
     tr.add_argument("--batch", type=int, default=None)
     tr.add_argument("--ema", type=float, default=None)
     tr.add_argument("--resume", action="store_true")
+    tr.add_argument("--num_workers", type=int, default=0,
+                    help="fork-pool data workers (reference uses 8)")
 
     ex = sub.add_parser("export", help="export a streaming model")
     ex.add_argument("--run", required=True)

@@ -191,7 +191,12 @@ class AudioDataset:
         return self.count
 
     def __getitem__(self, i: int):
-        rng = self._rng
+        return self.get(i, self._rng)
+
+    def get(self, i: int, rng: np.random.Generator):
+        """Fetch item ``i`` with an explicit generator -- parallel loader
+        workers pass a per-(epoch, index) rng so augmentation draws are
+        reproducible regardless of worker scheduling."""
         x = self.data[i].astype(np.float32) / 32768.0
         # random crop to n_signal (reference RandomCrop)
         if self.n_signal < self.record_len:
@@ -283,30 +288,65 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, indices=None,
                  shuffle: bool = True, seed: int = 0, prefetch: int = 4,
-                 drop_last: bool = True):
+                 drop_last: bool = True, num_workers: int = 0):
         self.ds = dataset
         self.bs = batch_size
         self.indices = np.asarray(indices if indices is not None
                                   else np.arange(len(dataset)))
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self._epoch = 0
 
-    def _epoch_batches(self) -> Iterator[dict]:
+    @staticmethod
+    def _shape(items: list) -> dict:
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        batch["x"] = batch["x"][..., None]              # (B, T, 1)
+        if "x_perturbed" in batch:
+            batch["x_perturbed"] = batch["x_perturbed"][..., None]
+        return batch
+
+    def _epoch_index_chunks(self):
         idx = self.indices.copy()
         if self.shuffle:
             self.rng.shuffle(idx)
         stop = len(idx) - len(idx) % self.bs if self.drop_last else len(idx)
         for i in range(0, stop, self.bs):
-            items = [self.ds[int(j)] for j in idx[i:i + self.bs]]
-            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
-            batch["x"] = batch["x"][..., None]          # (B, T, 1)
-            if "x_perturbed" in batch:
-                batch["x_perturbed"] = batch["x_perturbed"][..., None]
-            yield batch
+            yield idx[i:i + self.bs]
+
+    def _get(self, j: int) -> dict:
+        if hasattr(self.ds, "get"):
+            # per-(seed, epoch, index) rng: augmentation draws independent
+            # of worker scheduling (parallel == serial)
+            return self.ds.get(int(j), np.random.default_rng(
+                (self.seed, self._epoch, int(j))))
+        return self.ds[int(j)]
+
+    def _epoch_batches(self) -> Iterator[dict]:
+        for chunk in self._epoch_index_chunks():
+            yield self._shape([self._get(j) for j in chunk])
 
     def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
+        if self.num_workers > 0:
+            # fork-based process pool (the reference trains with
+            # num_workers=8 torch DataLoader workers,
+            # scripts/train.py:143-149); the memmap store is fork-safe
+            # read-only and per-item rngs make draws order-independent
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")
+            global _POOL_LOADER
+            _POOL_LOADER = self
+            with ctx.Pool(self.num_workers) as pool:
+                for batch in pool.imap(
+                        _pool_batch, self._epoch_index_chunks(),
+                        chunksize=1):
+                    yield batch
+            return
+
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         SENTINEL = object()
 
@@ -325,3 +365,12 @@ class DataLoader:
 
     def __len__(self):
         return len(self.indices) // self.bs
+
+
+# module-level state for fork-pool workers (inherited on fork)
+_POOL_LOADER: Optional["DataLoader"] = None
+
+
+def _pool_batch(chunk) -> dict:
+    dl = _POOL_LOADER
+    return dl._shape([dl._get(j) for j in chunk])

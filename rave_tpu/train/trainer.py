@@ -70,7 +70,8 @@ def train_main(args) -> None:
 
     ds = AudioDataset(args.db_path, n_signal=cfg.n_signal)
     train_idx, val_idx = split_dataset(len(ds))
-    train_loader = DataLoader(ds, cfg.batch_size, train_idx, shuffle=True)
+    train_loader = DataLoader(ds, cfg.batch_size, train_idx, shuffle=True,
+                              num_workers=getattr(args, "num_workers", 0))
     val_loader = DataLoader(ds, cfg.batch_size, val_idx, shuffle=False)
 
     mesh = make_mesh()

@@ -125,3 +125,17 @@ def test_yin_f0_sine():
     voiced = f0[f0 > 0]
     assert len(voiced) > len(f0) * 0.8
     assert abs(np.median(voiced) - 220) < 5
+
+
+def test_dataloader_pool_matches_serial(db):
+    """Fork-pool workers produce byte-identical batches to the serial
+    path (per-(seed, epoch, index) augmentation rngs)."""
+    out, _ = db
+    ds = AudioDataset(str(out))
+    a = list(DataLoader(ds, 2, shuffle=True, seed=3, num_workers=0))
+    ds2 = AudioDataset(str(out))
+    b = list(DataLoader(ds2, 2, shuffle=True, seed=3, num_workers=2))
+    assert len(a) == len(b) > 0
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
