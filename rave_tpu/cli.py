@@ -41,6 +41,8 @@ def main(argv=None):
     tr.add_argument("--resume", action="store_true")
     tr.add_argument("--num_workers", type=int, default=0,
                     help="fork-pool data workers (reference uses 8)")
+    tr.add_argument("--multihost", action="store_true",
+                    help="jax.distributed multi-host data parallelism")
 
     ex = sub.add_parser("export", help="export a streaming model")
     ex.add_argument("--run", required=True)

@@ -55,6 +55,14 @@ class MetricLogger:
 
 
 def train_main(args) -> None:
+    if getattr(args, "multihost", False):
+        # multi-host data parallelism over DCN: same mesh code, the
+        # device set just spans hosts (SURVEY §2.9; the reference has no
+        # multi-node path).  Coordinator/host-count come from the TPU
+        # runtime environment.
+        jax.distributed.initialize()
+    is_main = jax.process_index() == 0
+
     cfg = build_config(args.config or ["v2"], args.override)
     if args.batch:
         cfg.batch_size = args.batch
@@ -90,6 +98,11 @@ def train_main(args) -> None:
     rng = jax.device_put(jax.random.PRNGKey(1), rep)
 
     def put(batch):
+        if jax.process_count() > 1:
+            # each host contributes its local shard of the global batch
+            return {k: jax.make_array_from_process_local_data(
+                        bs if v.ndim else rep, np.asarray(v))
+                    for k, v in batch.items()}
         return {k: jax.device_put(v, bs if v.ndim else rep)
                 for k, v in batch.items()}
 
@@ -110,10 +123,11 @@ def train_main(args) -> None:
                 now = time.time()
                 sps = window / (now - last) if step else 0.0
                 last = now
-                logger.log(step, {**metrics, "steps_per_s": sps})
-                print(f"step {step} "
-                      + " ".join(f"{k}={float(v):.4f}"
-                                 for k, v in metrics.items()))
+                if is_main:
+                    logger.log(step, {**metrics, "steps_per_s": sps})
+                    print(f"step {step} "
+                          + " ".join(f"{k}={float(v):.4f}"
+                                     for k, v in metrics.items()))
 
             if args.val_every and step and step % args.val_every == 0:
                 vals, zs = [], []
@@ -125,7 +139,7 @@ def train_main(args) -> None:
                     if demo is None:
                         demo = (np.asarray(vb["x"][0, :, 0]),
                                 np.asarray(y[0, :, 0]))
-                if demo is not None:
+                if demo is not None and is_main:
                     # audio demos, like the reference's TB/wandb audio
                     # logging (model.py:786-803): original + reconstruction
                     from ..data.audio_io import save_wav
@@ -136,17 +150,21 @@ def train_main(args) -> None:
                     save_wav(str(adir / f"step{step}_reconstruction.wav"),
                              np.clip(demo[1], -1, 1), cfg.sampling_rate)
                 v = float(np.mean(vals)) if vals else float("nan")
-                logger.log(step, {"validation": v})
-                if zs and cfg.latent_head == "variational":
-                    from .latent_stats import fit_latent_pca, save_latent_stats
-                    save_latent_stats(run_dir,
-                                      fit_latent_pca(np.concatenate(zs)))
-                ckpt.save(state, {"validation": v})
+                if is_main:
+                    logger.log(step, {"validation": v})
+                    if zs and cfg.latent_head == "variational":
+                        from .latent_stats import (fit_latent_pca,
+                                                   save_latent_stats)
+                        save_latent_stats(run_dir,
+                                          fit_latent_pca(np.concatenate(zs)))
+                    ckpt.save(state, {"validation": v})
 
-            if args.ckpt_every and step and step % args.ckpt_every == 0:
+            if args.ckpt_every and step and step % args.ckpt_every == 0 \
+                    and is_main:
                 ckpt.save(state)
 
-    ckpt.save(state)
-    ckpt.wait()
+    if is_main:
+        ckpt.save(state)
+        ckpt.wait()
     print(f"finished at step {int(state.step)} "
           f"({time.time() - t0:.0f}s)")
