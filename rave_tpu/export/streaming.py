@@ -286,6 +286,33 @@ class StreamingRAVE:
             outs.append(self.forward(chunk)[0, :, 0])
         return np.concatenate(outs)
 
+    def process_file_scan(self, x: np.ndarray) -> np.ndarray:
+        """Offline throughput mode: the whole chunk loop as ONE
+        ``lax.scan``-compiled program (one dispatch per file instead of
+        per chunk -- per-chunk dispatch latency dominates realtime-style
+        loops on accelerators).  Identical math and state threading to
+        :meth:`process_file`; mono, no resampler/stereo."""
+        if self.stereo or self.rs_ratio > 1:
+            return self.process_file(x)
+        hc = self.host_chunk
+        T = len(x) - len(x) % hc
+        chunks = jnp.asarray(x[:T], jnp.float32).reshape(-1, 1, hc, 1)
+
+        if not hasattr(self, "_scan_fwd"):
+            fwd = self._forward
+
+            @jax.jit
+            def scan_fwd(cache, chunks):
+                def body(c, xc):
+                    y, c2 = fwd(c, xc)
+                    return c2, y
+                cache, ys = jax.lax.scan(body, cache, chunks)
+                return ys, cache
+            self._scan_fwd = scan_fwd
+
+        ys, _ = self._scan_fwd(self.init_cache, chunks)
+        return np.asarray(ys).reshape(-1)
+
     # -- latent post/pre-processing (reference export.py:482-539) --------
 
     def set_latent_stats(self, stats: Optional[dict],

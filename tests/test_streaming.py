@@ -173,3 +173,16 @@ def test_streaming_with_host_resampler():
     assert z.shape[1] == 2048 // cfg.total_ratio()
     yd = sr.decode(z)
     assert yd.shape == (1, 4096, 1)
+
+
+def test_process_file_scan_matches_loop():
+    """The lax.scan throughput path == the per-chunk dispatch loop."""
+    cfg = build_config(["v2"], TINY)
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(15), (16384,)) * 0.3
+    variables = jax.jit(model.init)(_rngs(),
+                                    jnp.asarray(x)[None, :, None])
+    sr = StreamingRAVE(cfg, variables["params"], chunk_size=2048)
+    y_loop = sr.process_file(np.asarray(x))
+    y_scan = sr.process_file_scan(np.asarray(x))
+    np.testing.assert_allclose(y_loop, y_scan, rtol=1e-4, atol=1e-5)
