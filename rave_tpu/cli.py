@@ -54,6 +54,12 @@ def main(argv=None):
                     help="host sample rate (integer multiple of the "
                          "model rate); adds streaming resampler stages")
 
+    ev = sub.add_parser("eval", help="speaker-embedding t-SNE evaluation "
+                                     "(reference train_rave.py --eval)")
+    ev.add_argument("--run", required=True)
+    ev.add_argument("--db_path", required=True)
+    ev.add_argument("--max_items", type=int, default=512)
+
     st = sub.add_parser("speaker_stats", help="per-speaker f0 statistics")
     st.add_argument("--db_path", required=True)
     st.add_argument("--out", default="speaker_stats.json")
@@ -89,6 +95,9 @@ def main(argv=None):
     elif args.command == "export":
         from .export.streaming import export_main
         export_main(args)
+    elif args.command == "eval":
+        from .train.eval_viz import eval_main
+        eval_main(args)
     elif args.command == "speaker_stats":
         import json
         from .data.dataset import AudioDataset

@@ -53,6 +53,16 @@ class MetricLogger:
                 if k != "step":
                     self.tb.add_scalar(k, v, step)
 
+    def status(self, step: int, metrics: dict):
+        """Atomic ``status.json`` side-channel for external monitors —
+        the reference keeps an LMDB status db updated every 100 steps
+        (``ProgressLogger``/``LoggerCallback``, ``core.py:502-544``)."""
+        rec = {"step": step, "time": time.time(),
+               **{k: float(v) for k, v in metrics.items()}}
+        tmp = self.path.parent / "status.json.tmp"
+        tmp.write_text(json.dumps(rec))
+        tmp.replace(self.path.parent / "status.json")
+
 
 def train_main(args) -> None:
     if getattr(args, "multihost", False):
@@ -125,6 +135,7 @@ def train_main(args) -> None:
                 last = now
                 if is_main:
                     logger.log(step, {**metrics, "steps_per_s": sps})
+                    logger.status(step, {"steps_per_s": sps})
                     print(f"step {step} "
                           + " ".join(f"{k}={float(v):.4f}"
                                      for k, v in metrics.items()))

@@ -121,3 +121,21 @@ def test_ema_weights_track():
     e = np.asarray(jax.tree.leaves(state.ema_params)[0])
     p = np.asarray(jax.tree.leaves(state.gen_params)[0])
     assert not np.allclose(e, p), "EMA should lag params"
+
+
+def test_project_2d_and_status_logger(tmp_path):
+    """Speaker-eval 2D projection (reference train_rave.py:205-214) and
+    the status.json side-channel (reference core.py:502-544)."""
+    from rave_tpu.train.eval_viz import project_2d
+    from rave_tpu.train.trainer import MetricLogger
+
+    embs = np.random.default_rng(0).standard_normal((40, 16)).astype(
+        np.float32)
+    pts = project_2d(embs)
+    assert pts.shape == (40, 2) and np.isfinite(pts).all()
+
+    lg = MetricLogger(str(tmp_path))
+    lg.status(100, {"steps_per_s": 1.5})
+    import json as _json
+    rec = _json.loads((tmp_path / "status.json").read_text())
+    assert rec["step"] == 100 and rec["steps_per_s"] == 1.5
