@@ -15,6 +15,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -81,7 +82,7 @@ def bench_stream_decode(n_chunks: int = 50, chunk: int = 4096):
     params = variables["params"]
     cache = variables.get("cache", {})
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def dec(cache, z):
         y, upd = model.apply({"params": params, "cache": cache}, z,
                              method=RAVE.decode, mutable=["cache"],

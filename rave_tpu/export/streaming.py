@@ -84,9 +84,12 @@ class StreamingRAVE:
                 rngs={"noise": jax.random.PRNGKey(5)})
             return y, upd["cache"]
 
-        self._forward = jax.jit(forward)
-        self._encode = jax.jit(encode)
-        self._decode = jax.jit(decode)
+        # donate the cache: the ring buffers are updated in place instead
+        # of copied every block (HBM traffic halves on the cache tree;
+        # call sites always rebind to the returned cache)
+        self._forward = jax.jit(forward, donate_argnums=(0,))
+        self._encode = jax.jit(encode, donate_argnums=(0,))
+        self._decode = jax.jit(decode, donate_argnums=(0,))
 
         if stereo:
             # fake stereo (reference export.py:322-337): one encoding,
@@ -139,8 +142,8 @@ class StreamingRAVE:
                                   mutable=["cache"])
                 return z, upd["cache"]
 
-            self._rs_down = jax.jit(rs_down)
-            self._rs_up = jax.jit(rs_up)
+            self._rs_down = jax.jit(rs_down, donate_argnums=(0,))
+            self._rs_up = jax.jit(rs_up, donate_argnums=(0,))
         else:
             self.rs_ratio = 1
 
@@ -163,8 +166,8 @@ class StreamingRAVE:
                           "noise": jax.random.PRNGKey(5)})
                 return y, upd["cache"]
 
-            self._encode_idx = jax.jit(encode_idx)
-            self._decode_idx = jax.jit(decode_idx)
+            self._encode_idx = jax.jit(encode_idx, donate_argnums=(0,))
+            self._decode_idx = jax.jit(decode_idx, donate_argnums=(0,))
 
         self.cache = self.init_cache
 
@@ -224,12 +227,16 @@ class StreamingRAVE:
         return self.chunk * self.rs_ratio
 
     def reset(self):
-        self.cache = self.init_cache
+        # fresh zero buffers: the previous cache arrays were donated to
+        # the step executables and must not be re-aliased
+        zeros = lambda tree: jax.tree.map(
+            lambda a: jnp.zeros(a.shape, a.dtype), tree)
+        self.cache = zeros(self.init_cache)
         if self.stereo:
-            self.dec_cache = self.init_dec_cache
+            self.dec_cache = zeros(self.init_dec_cache)
         if self.rs_ratio > 1:
-            self.down_cache = self.init_down_cache
-            self.up_cache = self.init_up_cache
+            self.down_cache = zeros(self.init_down_cache)
+            self.up_cache = zeros(self.init_up_cache)
 
     def _to_model_rate(self, x_chunk: np.ndarray) -> jax.Array:
         x = jnp.asarray(x_chunk)
@@ -310,7 +317,9 @@ class StreamingRAVE:
                 return ys, cache
             self._scan_fwd = scan_fwd
 
-        ys, _ = self._scan_fwd(self.init_cache, chunks)
+        zero_cache = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype),
+                                  self.init_cache)
+        ys, _ = self._scan_fwd(zero_cache, chunks)
         return np.asarray(ys).reshape(-1)
 
     # -- latent post/pre-processing (reference export.py:482-539) --------
@@ -389,7 +398,49 @@ class StreamingRAVE:
                     latent_size=self.cfg.latent_size,
                     config=self.cfg.name)
         (out / "meta.json").write_text(json.dumps(meta, indent=2))
+        self._serialize_pjrt_host_artifacts(out, exp)
         return out
+
+    def _serialize_pjrt_host_artifacts(self, out: Path, exp) -> None:
+        """Artifacts for the C++ PJRT host (``native/pjrt_host.cpp``):
+
+        * ``forward.mlir`` -- the raw (versioned) StableHLO module byte
+          code, compilable by any PJRT plugin via ``PJRT_Client_Compile``
+          (``exp.serialize()`` wraps it in jax.export metadata that only
+          jax can parse);
+        * ``compile_options.pb`` -- serialized default CompileOptionsProto;
+        * ``io_manifest.txt`` -- the flat call convention, one line per
+          leaf: inputs are the donated cache leaves (in pytree order)
+          followed by the audio chunk; outputs are the audio chunk
+          followed by the updated cache leaves;
+        * ``cache_init.bin`` -- the initial cache leaves, concatenated raw
+          little-endian in manifest order.
+        """
+        mlir = getattr(exp, "mlir_module_serialized", None)
+        if mlir is None:
+            mlir = exp.mlir_module().encode()
+        (out / "forward.mlir").write_bytes(mlir)
+        try:
+            from jaxlib.xla_client import CompileOptions
+            (out / "compile_options.pb").write_bytes(
+                CompileOptions().SerializeAsString())
+        except Exception:
+            (out / "compile_options.pb").write_bytes(b"")
+
+        lines = [f"meta {self.chunk} {self.cfg.sampling_rate} {self.batch}"]
+        for kind, avals in (("in", exp.in_avals), ("out", exp.out_avals)):
+            for a in jax.tree.leaves(avals):
+                dims = " ".join(str(d) for d in a.shape)
+                lines.append(
+                    f"{kind} {np.dtype(a.dtype).name} "
+                    f"{int(np.dtype(a.dtype).itemsize * np.prod(a.shape, dtype=np.int64))} "
+                    f"{len(a.shape)} {dims}".rstrip())
+        (out / "io_manifest.txt").write_text("\n".join(lines) + "\n")
+
+        flat, _ = jax.tree.flatten(self.cache)
+        with open(out / "cache_init.bin", "wb") as f:
+            for v in flat:
+                f.write(np.ascontiguousarray(np.asarray(v)).tobytes())
 
 
 def load_run(run_dir: str):

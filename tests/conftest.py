@@ -26,7 +26,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache, keyed per platform (a shared dir mixes
 # remote-TPU and host-CPU AOT results -> machine-feature mismatch noise)
 _plat = jax.default_backend()
+# ... and per machine: XLA:CPU AOT results bake in host CPU features, so
+# a cache dir reused across sandbox machines spews feature-mismatch
+# reloads that slow the suite 3-4x.
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+_mach = hashlib.md5(
+    (platform.processor() + platform.node()).encode()).hexdigest()[:8]
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("RAVE_TPU_CACHE",
-                                 f"/root/.jax_cache_{_plat}"))
+                                 f"/root/.jax_cache_{_plat}_{_mach}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

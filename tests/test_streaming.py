@@ -186,3 +186,32 @@ def test_process_file_scan_matches_loop():
     y_loop = sr.process_file(np.asarray(x))
     y_scan = sr.process_file_scan(np.asarray(x))
     np.testing.assert_allclose(y_loop, y_scan, rtol=1e-4, atol=1e-5)
+
+
+def test_pjrt_host_artifacts(tmp_path):
+    """The export dir must carry everything the C++ PJRT host needs
+    (native/pjrt_host.cpp): raw StableHLO, IO manifest, flat cache image
+    whose size equals the manifest's cache input bytes."""
+    cfg = build_config(["v2"], TINY)
+    off = RAVE(cfg=cfg, train_mode=False)
+    x = jnp.zeros((1, 16384, 1), jnp.float32)
+    variables = jax.jit(off.init)(_rngs(), x)
+    sr = StreamingRAVE(cfg, variables["params"], chunk_size=2048)
+    out = sr.serialize(str(tmp_path / "export"))
+
+    for f in ["forward.mlir", "io_manifest.txt", "cache_init.bin",
+              "compile_options.pb", "forward.stablehlo", "meta.json"]:
+        assert (out / f).exists(), f
+
+    lines = (out / "io_manifest.txt").read_text().strip().splitlines()
+    assert lines[0].startswith("meta 2048 ")
+    ins = [l.split() for l in lines if l.startswith("in ")]
+    outs = [l.split() for l in lines if l.startswith("out ")]
+    assert len(outs) == len(ins), "y replaces x; cache counts must match"
+    # last input is the audio chunk (1, 2048, 1) f32
+    assert ins[-1][1] == "float32" and ins[-1][2] == str(2048 * 4)
+    cache_bytes = sum(int(l[2]) for l in ins[:-1])
+    assert (out / "cache_init.bin").stat().st_size == cache_bytes
+    mlir = (out / "forward.mlir").read_bytes()
+    # MLIR bytecode magic is "ML\xefR"; textual fallback starts with module
+    assert mlir[:4] == b"ML\xefR" or b"module" in mlir[:4096]
