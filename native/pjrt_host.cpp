@@ -331,28 +331,45 @@ int main(int argc, char** argv) {
     return outs[0];
   };
 
-  PJRT_Buffer* y = run_once();  // warmup (first dispatch)
-  DestroyBuffer(y);
+  // like a DAW host: every block's audio comes back to host memory
+  // before the next block is submitted (the honest per-block latency,
+  // not just the enqueue rate)
+  std::vector<uint8_t> y_host(out_specs[0].nbytes);
+  auto fetch = [&](PJRT_Buffer* y) {
+    PJRT_Buffer_ToHostBuffer_Args th;
+    std::memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = y;
+    th.dst = y_host.data();
+    th.dst_size = y_host.size();
+    Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer");
+    AwaitAndDestroy(th.event, "device->host transfer");
+    DestroyBuffer(y);
+  };
+
+  fetch(run_once());  // warmup (first dispatch)
+
+  // 1) pipelined throughput: submit block b+1 as soon as block b's
+  //    execution completes on-device (outputs stay device-resident, the
+  //    way a server streaming to a device-side consumer would run)
   auto t0 = std::chrono::steady_clock::now();
   for (int b = 0; b < n_blocks; ++b) {
-    y = run_once();
-    if (b + 1 < n_blocks) DestroyBuffer(y);
+    PJRT_Buffer* y = run_once();
+    if (b + 1 == n_blocks) fetch(y); else DestroyBuffer(y);
   }
-  double dt =
+  double dt_pipe =
       std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
           .count();
 
-  // fetch the final audio block to prove the path end-to-end
-  std::vector<uint8_t> y_host(out_specs[0].nbytes);
-  PJRT_Buffer_ToHostBuffer_Args th;
-  std::memset(&th, 0, sizeof(th));
-  th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-  th.src = y;
-  th.dst = y_host.data();
-  th.dst_size = y_host.size();
-  Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer");
-  AwaitAndDestroy(th.event, "device->host transfer");
-  DestroyBuffer(y);
+  // 2) blocking per-block latency: the DAW-host pattern -- every block's
+  //    audio is copied back to host memory before the next submit.  (In
+  //    this sandbox the device is tunnelled, so this is bounded by the
+  //    network round trip, not the chip.)
+  t0 = std::chrono::steady_clock::now();
+  for (int b = 0; b < n_blocks; ++b) fetch(run_once());
+  double dt =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+          .count();
 
   double audio_s =
       static_cast<double>(n_blocks) * static_cast<double>(chunk) /
@@ -361,8 +378,10 @@ int main(int argc, char** argv) {
   const float* yf = reinterpret_cast<const float*>(y_host.data());
   for (size_t i = 0; i < out_specs[0].nbytes / 4; ++i) checksum += yf[i];
   std::printf(
-      "{\"blocks\": %d, \"blocks_per_s\": %.2f, \"rtf\": %.5f, "
+      "{\"blocks\": %d, \"pipelined_blocks_per_s\": %.2f, "
+      "\"pipelined_rtf\": %.5f, \"blocking_rtf\": %.5f, "
       "\"checksum\": %.6f}\n",
-      n_blocks, n_blocks / dt, dt / audio_s, checksum);
+      n_blocks, n_blocks / dt_pipe, dt_pipe / audio_s, dt / audio_s,
+      checksum);
   return 0;
 }

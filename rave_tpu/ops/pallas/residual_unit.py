@@ -15,6 +15,13 @@ the channel dim).
 Forward-only Pallas with a ``jax.custom_vjp`` whose backward is plain
 XLA (training uses the XLA path's gradients; serving -- the RTF-critical
 path -- gets the fused forward).
+
+Measured on v5e (2026-08, 4096-sample streaming decode chunks,
+bf16): XLA's own fusion beats this kernel (RTF 0.0094 vs 0.0133) --
+per-block time dims are tiny (<=256 band frames), so the manual halo
+DMA + small grid overheads dominate.  ``fused_kernels`` therefore stays
+**off by default**; the kernel remains for large-T offline workloads
+where the tile loop amortises.
 """
 
 from __future__ import annotations
