@@ -43,6 +43,16 @@ def main(argv=None):
                     help="fork-pool data workers (reference uses 8)")
     tr.add_argument("--multihost", action="store_true",
                     help="jax.distributed multi-host data parallelism")
+    tr.add_argument("--normalize", action="store_true",
+                    help="peak-normalise items (reference get_dataset "
+                         "normalize option)")
+    tr.add_argument("--derivative", action="store_true",
+                    help="train on the signal derivative; demos are "
+                         "integrated back (reference get_dataset derivative)")
+    tr.add_argument("--speaker_stats", default=None,
+                    help="per-speaker f0 stats json (from `rave-tpu "
+                         "speaker_stats`) for pitch conditioning; default "
+                         "<db_path>/speaker_stats.json")
 
     ex = sub.add_parser("export", help="export a streaming model")
     ex.add_argument("--run", required=True)

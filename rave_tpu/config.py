@@ -97,6 +97,14 @@ class RAVEConfig:
     # conditioning (voice conversion fork)
     speaker_embedding_size: int = 0   # 256 in the fork (configs/v2.gin)
     hubert_units: int = 0             # 100 discrete HuBERT units (model.py:117)
+    # pitch conditioning: normalised-f0 channels appended to the decoder
+    # latent (the fork's myforward surface, scripts/export.py:349-397;
+    # core.get_augmented_latent_size's pitch_embedding_size arg,
+    # core.py:78-79).  1 = continuous whitening-normalised log-f0.
+    pitch_embedding_size: int = 0
+    pitch_hop: int = 1024             # f0 frame hop (export.py:352: 1024)
+    pitch_fmin: float = 50.0          # FCPE bounds (pitch_utils.py:139-140)
+    pitch_fmax: float = 550.0
 
     # discriminator + GAN
     discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
@@ -145,7 +153,7 @@ class RAVEConfig:
         """Latent fed to the generator = latent + noise aug + speaker emb
         (reference ``core.get_augmented_latent_size``, ``core.py:78-79``)."""
         return (self.latent_size + self.noise_augmentation
-                + self.speaker_embedding_size)
+                + self.speaker_embedding_size + self.pitch_embedding_size)
 
     def total_ratio(self) -> int:
         r = self.n_band
@@ -360,6 +368,13 @@ def _noise(c: RAVEConfig):
     c.use_noise = True
     c.noise_ratios = (2, 2, 2)
     c.noise_bands = 5
+
+
+@preset("pitch")
+def _pitch(c: RAVEConfig):
+    """f0-conditioned decoder (the fork's myforward composition,
+    ``scripts/export.py:349-397``, restored as a first-class option)."""
+    c.pitch_embedding_size = 1
 
 
 @preset("descript_discriminator")

@@ -122,6 +122,27 @@ def dequantize(x: np.ndarray, rng: np.random.Generator,
             / 2 ** (bit_depth - 1)).astype(np.float32)
 
 
+def get_derivator_integrator(sr: int):
+    """First-difference derivator and its leaky-integrator inverse
+    (reference ``get_derivator_integrator``, ``rave/dataset.py:147-152``):
+    train on the derivative signal, integrate reconstructions back."""
+    alpha = 1 / (1 + 1 / sr * 2 * np.pi * 10)
+    derivator = ([0.5, -0.5], [1])
+    integrator = ([alpha ** 2, -alpha ** 2], [1, -2 * alpha, alpha ** 2])
+    return (lambda x: lfilter(*derivator, x).astype(np.float32),
+            lambda x: lfilter(*integrator, x).astype(np.float32))
+
+
+def normalize_signal(x: np.ndarray, max_gain_db: float = 30.0) -> np.ndarray:
+    """Peak-normalise with bounded gain (reference ``normalize_signal``,
+    ``rave/dataset.py:314-322``): gain = min(1/peak, +30 dB)."""
+    peak = np.abs(x).max()
+    if peak == 0:
+        return x
+    gain = min(1.0 / peak, 10 ** (max_gain_db / 20))
+    return (x * gain).astype(np.float32)
+
+
 class RandomBackgroundNoise:
     """Mix pre-decoded noise at random SNR (reference
     ``rave/dataset.py:65-144``; noise corpus pre-decoded to ``.npy`` by
@@ -163,7 +184,8 @@ class AudioDataset:
 
     def __init__(self, db_path: str, n_signal: Optional[int] = None,
                  phase_mangle_p: float = 0.8, use_dequantize: bool = True,
-                 perturb=None, noise=None, seed: int = 0):
+                 perturb=None, noise=None, seed: int = 0,
+                 normalize: bool = False, derivative: bool = False):
         self.root = Path(db_path)
         meta = json.loads((self.root / "meta.json").read_text())
         self.meta = meta
@@ -185,6 +207,12 @@ class AudioDataset:
         self.use_dequantize = use_dequantize
         self.perturb = perturb
         self.noise = noise
+        self.normalize = normalize
+        # derivative training (reference get_dataset(derivative=True),
+        # rave/dataset.py:329,349-350): items are derivator-filtered; the
+        # paired integrator reverses it on generated audio
+        self.derivator, self.integrator = (
+            get_derivator_integrator(self.sr) if derivative else (None, None))
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -206,6 +234,10 @@ class AudioDataset:
             x = random_phase_mangle(x, rng, sr=self.sr)
         if self.use_dequantize:
             x = dequantize(x, rng)
+        if self.normalize:
+            x = normalize_signal(x)
+        if self.derivator is not None:
+            x = self.derivator(x)
         xp = x
         if self.perturb is not None:
             xp = self.perturb(x.copy(), rng)

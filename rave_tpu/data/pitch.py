@@ -35,11 +35,14 @@ def yin_f0(x: np.ndarray, sr: int, frame_length: int = 2048,
     # difference function d(tau) via autocorrelation
     fft = np.fft.rfft(frames, 2 * frame_length, axis=-1)
     acf = np.fft.irfft(fft * np.conj(fft), axis=-1)[:, :w]
+    # d(tau) = E[0..L-tau-1] + E[tau..L-1] - 2*corr(tau) (YIN eq. 6/7,
+    # cf. the reference torch `_diff`, pitch_utils.py:52-72)
     energy = np.cumsum(frames ** 2, axis=-1)
     e0 = energy[:, -1:]
     e_tau = e0 - np.concatenate(
         [np.zeros((len(frames), 1)), energy[:, :w - 1]], axis=-1)
-    d = e0 + e_tau - 2 * acf
+    e_first = energy[:, ::-1][:, :w]
+    d = e_first + e_tau - 2 * acf
     # cumulative mean normalisation
     tau = np.arange(1, w)
     cmdf = d[:, 1:] * tau / (np.cumsum(d[:, 1:], axis=-1) + 1e-9)

@@ -50,18 +50,21 @@ class VoiceConverter:
         aux = {k: v for k, v in variables.items()
                if k not in ("params", "cache")}
 
-        def fwd(cache, x, emb):
+        def fwd(cache, x, emb, pitch_feat):
             v = {"params": self.params, "cache": cache, **aux}
-            bands = self.model.apply(v, x, method=RAVE.pqmf_forward)
-            # stateful caches: single apply covering encode+decode
+            # stateful caches: single mutable apply covering the whole
+            # pqmf -> encode -> decode -> pqmf^-1 block step
             def run(mdl):
+                bands = mdl.pqmf_forward(x)
+                # speaker-conditioned fork: the encoder emits the raw
+                # latent (n_out=1, no variational split -- see
+                # RAVE.setup / reference model.py:349,358)
                 z = mdl.encode_input(x, bands)
-                from ..models.latent import VariationalHead
-                if mdl.cfg.latent_head == "variational":
-                    z, _ = VariationalHead.mean_scale(z)
                 e = jnp.broadcast_to(emb[None, None, :],
                                      (z.shape[0], z.shape[1], emb.shape[-1]))
                 z = jnp.concatenate([z, e], axis=-1)
+                if pitch_feat is not None:
+                    z = jnp.concatenate([z, pitch_feat], axis=-1)
                 y = mdl.decode_bands(z)
                 return mdl.pqmf_inverse(y)
 
@@ -83,6 +86,50 @@ class VoiceConverter:
         self._fwd = jax.jit(fwd)
         self._spk = jax.jit(spk_embed)
 
+        # pitch conditioning (fork myforward: per-block f0 extraction +
+        # utterance-stat normalisation, export.py:349-359).  f0 frames
+        # need (frame_length - hop) past samples of context; the running
+        # log-f0 reservoir replaces the reference's per-block median/std
+        # (steadier on 4096-sample blocks).
+        self._pitch = cfg.pitch_embedding_size > 0
+        if self._pitch:
+            from ..ops.pitch import yin_f0
+            self._f0_frame = 2048
+            self._f0_hop = cfg.pitch_hop
+            self._f0_tail = np.zeros(self._f0_frame - self._f0_hop,
+                                     np.float32)
+            self._z_frames = chunk_size // cfg.total_ratio()
+            self._logf0: list = []
+            self._f0_fn = jax.jit(lambda xc: yin_f0(
+                xc, cfg.sampling_rate, self._f0_frame, self._f0_hop,
+                cfg.pitch_fmin, cfg.pitch_fmax))
+
+    def _pitch_feature(self, x_chunk: np.ndarray) -> jnp.ndarray:
+        """(1, Tz, C) normalised-f0 feature for one block."""
+        cfg = self.cfg
+        xc = np.concatenate([self._f0_tail, x_chunk.astype(np.float32)])
+        self._f0_tail = xc[-(self._f0_frame - self._f0_hop):]
+        f0 = np.asarray(self._f0_fn(xc[None]))[0]
+        voiced = f0 > 0
+        if voiced.any():
+            self._logf0.extend(np.log(f0[voiced]).tolist())
+            self._logf0 = self._logf0[-500:]
+        if self._logf0:
+            med = float(np.median(self._logf0))
+            std = float(max(np.std(self._logf0), 1e-3))
+        else:
+            med, std = float(np.log(160.0)), 0.5
+        feat = np.where(voiced, (np.log(np.maximum(f0, 1e-6)) - med) / std,
+                        0.0).astype(np.float32)
+        # linear resample f0 frames -> latent frames
+        n = len(feat)
+        pos = np.linspace(0, n - 1, self._z_frames) if n > 1 \
+            else np.zeros(self._z_frames)
+        feat = np.interp(pos, np.arange(n), feat)
+        feat = np.tile(feat[None, :, None],
+                       (1, 1, cfg.pitch_embedding_size))
+        return jnp.asarray(feat, jnp.float32)
+
     # ---- nn~-style attributes (reference export.py:427-479) -----------
 
     def set_speaker(self, idx: int):
@@ -96,6 +143,9 @@ class VoiceConverter:
 
     def reset(self):
         self.cache = self.init_cache
+        if self._pitch:
+            self._f0_tail[:] = 0
+            self._logf0 = []
 
     def current_embedding(self) -> np.ndarray:
         if self._target_n > 0:
@@ -112,5 +162,7 @@ class VoiceConverter:
             self._target_n += 1
             return np.zeros_like(x_chunk)
         emb = jnp.asarray(self.current_embedding())
-        y, self.cache = self._fwd(self.cache, xj, emb)
+        feat = self._pitch_feature(x_chunk.reshape(-1)) if self._pitch \
+            else None
+        y, self.cache = self._fwd(self.cache, xj, emb, feat)
         return np.asarray(y[0, :, 0])

@@ -260,7 +260,23 @@ class RAVE(nn.Module):
             emb = jnp.broadcast_to(emb[:, None, :],
                                    (z.shape[0], z.shape[1], emb.shape[-1]))
             z = jnp.concatenate([z, emb], axis=-1)
+        z = self._append_pitch(z, x)
         return z
+
+    def _append_pitch(self, z: jax.Array, x: jax.Array) -> jax.Array:
+        """Optional normalised-f0 conditioning channels (the fork's
+        myforward latent composition ``cat(z, emb, f0_norm)``,
+        ``scripts/export.py:397``); per-utterance stats like
+        ``extract_f0_median_std`` there (``export.py:349-354``)."""
+        if self.cfg.pitch_embedding_size == 0:
+            return z
+        from ..ops.pitch import pitch_feature
+        cfg = self.cfg
+        feat = pitch_feature(x, z.shape[1], cfg.sampling_rate,
+                             hop=cfg.pitch_hop, fmin=cfg.pitch_fmin,
+                             fmax=cfg.pitch_fmax,
+                             channels=cfg.pitch_embedding_size)
+        return jnp.concatenate([z, feat], axis=-1)
 
     def decode(self, z: jax.Array, rng: Optional[jax.Array] = None):
         y = self.decode_bands(z, rng)
@@ -323,4 +339,5 @@ class RAVE(nn.Module):
         emb = jnp.broadcast_to(emb[:, None, :],
                                (z.shape[0], z.shape[1], emb.shape[-1]))
         z = jnp.concatenate([z, emb], axis=-1)
+        z = self._append_pitch(z, x)  # source prosody, target timbre
         return self.decode(z, rng)

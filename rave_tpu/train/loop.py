@@ -221,6 +221,21 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
             z, reg = out
         z_dec = z
 
+    # pitch conditioning: normalised f0 from the *clean* signal appended
+    # to the decoder latent (fork myforward, export.py:349-397).  Stats
+    # come from the per-speaker json when the trainer provides them
+    # (reference global_speaker_dict, model.py:316-317), else
+    # per-utterance (export.py:349-354).
+    if cfg.pitch_embedding_size > 0:
+        from ..ops import pitch as P
+        feat = P.pitch_feature(
+            x, z_dec.shape[1], cfg.sampling_rate, hop=cfg.pitch_hop,
+            fmin=cfg.pitch_fmin, fmax=cfg.pitch_fmax,
+            median=batch.get("f0_median"), std=batch.get("f0_std"),
+            channels=cfg.pitch_embedding_size)
+        z_dec = jnp.concatenate([z_dec, jax.lax.stop_gradient(feat)],
+                                axis=-1)
+
     warm = schedules.warmed_up(step, cfg)
     bands_y = model.apply(variables, z_dec, r[1], warm,
                           method=RAVE.decode_bands, rngs=rngs)

@@ -86,7 +86,35 @@ def train_main(args) -> None:
     save_config(run_dir, cfg)
     logger = MetricLogger(run_dir)
 
-    ds = AudioDataset(args.db_path, n_signal=cfg.n_signal)
+    ds = AudioDataset(args.db_path, n_signal=cfg.n_signal,
+                      normalize=getattr(args, "normalize", False),
+                      derivative=getattr(args, "derivative", False))
+
+    # pitch conditioning: per-speaker log-f0 stats (reference
+    # global_speaker_dict from speaker_stats_fcpe.json, model.py:243-247,
+    # 316-317).  Missing file -> per-utterance stats in-graph.
+    f0_stats = None
+    if cfg.pitch_embedding_size > 0:
+        sp = Path(getattr(args, "speaker_stats", None)
+                  or Path(args.db_path) / "speaker_stats.json")
+        if sp.exists():
+            stats = json.loads(sp.read_text())
+            med = np.array([stats.get(n, {}).get("mean", np.log(160.0))
+                            for n in ds.speaker_names], np.float32)
+            std = np.array([max(stats.get(n, {}).get("std", 0.5), 1e-3)
+                            for n in ds.speaker_names], np.float32)
+            f0_stats = (med, std)
+            print(f"pitch stats: {sp} ({len(stats)} speakers)")
+        else:
+            print("pitch stats: none found, using per-utterance stats")
+
+    def enrich(batch):
+        if f0_stats is not None and "speaker" in batch:
+            sid = np.asarray(batch["speaker"])
+            batch = {**batch, "f0_median": f0_stats[0][sid],
+                     "f0_std": f0_stats[1][sid]}
+        return batch
+
     train_idx, val_idx = split_dataset(len(ds))
     train_loader = DataLoader(ds, cfg.batch_size, train_idx, shuffle=True,
                               num_workers=getattr(args, "num_workers", 0))
@@ -126,7 +154,7 @@ def train_main(args) -> None:
             if step >= cfg.max_steps:
                 done = True
                 break
-            state, metrics = step_fn(state, put(batch), rng)
+            state, metrics = step_fn(state, put(enrich(batch)), rng)
 
             if step % window == 0:
                 jax.block_until_ready(metrics)
@@ -144,7 +172,7 @@ def train_main(args) -> None:
                 vals, zs = [], []
                 demo = None
                 for vb in val_loader:
-                    m, y, z = eval_fn(state, put(vb), jax.random.PRNGKey(2))
+                    m, y, z = eval_fn(state, put(enrich(vb)), jax.random.PRNGKey(2))
                     vals.append(float(m["validation"]))
                     zs.append(np.asarray(z).reshape(-1, z.shape[-1]))
                     if demo is None:
@@ -156,10 +184,15 @@ def train_main(args) -> None:
                     from ..data.audio_io import save_wav
                     adir = Path(run_dir) / "audio"
                     adir.mkdir(exist_ok=True)
+                    orig, rec = demo
+                    if ds.integrator is not None:
+                        # derivative training: integrate logged audio back
+                        # (reference validation_epoch_end, model.py:781-784)
+                        orig, rec = ds.integrator(orig), ds.integrator(rec)
                     save_wav(str(adir / f"step{step}_original.wav"),
-                             np.clip(demo[0], -1, 1), cfg.sampling_rate)
+                             np.clip(orig, -1, 1), cfg.sampling_rate)
                     save_wav(str(adir / f"step{step}_reconstruction.wav"),
-                             np.clip(demo[1], -1, 1), cfg.sampling_rate)
+                             np.clip(rec, -1, 1), cfg.sampling_rate)
                 v = float(np.mean(vals)) if vals else float("nan")
                 if is_main:
                     logger.log(step, {"validation": v})

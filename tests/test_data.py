@@ -50,6 +50,32 @@ def test_dataset_items(db):
     assert item["speaker"] in (0, 1)
 
 
+def test_normalize_and_derivative_transforms(db):
+    """Reference get_dataset(normalize=..., derivative=...) options
+    (rave/dataset.py:325-350) + integrator round trip."""
+    out, _ = db
+    ds = AudioDataset(str(out), n_signal=2048, phase_mangle_p=0.0,
+                      use_dequantize=False, normalize=True, derivative=True)
+    item = ds[0]
+    # derivative of a normalized signal: finite, small first-difference
+    assert np.isfinite(item["x"]).all()
+    # the reference pair composes to a flat ~0.5 gain above the 10 Hz
+    # leaky pole (H_d*H_i = 0.5*a^2*((1-z^-1)/(1-a z^-1))^2): check the
+    # round trip is shape-preserving at that gain
+    from rave_tpu.data.dataset import get_derivator_integrator
+    der, integ = get_derivator_integrator(ds.sr)
+    x = np.sin(2 * np.pi * 440 * np.arange(4096) / ds.sr).astype(np.float32)
+    y = integ(der(x))
+    rms = lambda s: np.sqrt(np.mean(s[512:] ** 2))
+    assert abs(rms(y) / rms(x) - 0.5) < 0.05, rms(y) / rms(x)
+    corr = np.corrcoef(y[512:], x[512:])[0, 1]
+    assert corr > 0.99, f"round trip decorrelated: {corr}"
+    # normalize: peak ~<= 1
+    ds_n = AudioDataset(str(out), n_signal=2048, phase_mangle_p=0.0,
+                        use_dequantize=False, normalize=True)
+    assert np.abs(ds_n[0]["x"]).max() <= 1.0 + 1e-5
+
+
 def test_loader_batches(db):
     out, _ = db
     ds = AudioDataset(str(out))
