@@ -138,15 +138,24 @@ int main(int argc, char** argv) {
   const std::string dir = argv[2];
   const int n_blocks = argc > 3 ? std::atoi(argv[3]) : 100;
 
-  // optional key=value client-create options (argv[4:])
+  // optional key=value client-create options (argv[4:]).  `prefix=NAME`
+  // is consumed by the host itself: it selects which exported step to
+  // serve (default `forward`; `prefix=convert` runs the myforward
+  // voice-conversion step written by `rave-tpu export --voice_conversion`).
+  std::string prefix = "forward";
   std::vector<std::string> opt_keys, opt_strs;
   std::vector<int64_t> opt_ints;
   std::vector<bool> opt_is_int;
   for (int i = 4; i < argc; ++i) {
     const char* eq = std::strchr(argv[i], '=');
     if (!eq) continue;
-    opt_keys.emplace_back(argv[i], eq - argv[i]);
+    std::string key(argv[i], eq - argv[i]);
     std::string val(eq + 1);
+    if (key == "prefix") {
+      prefix = val;
+      continue;
+    }
+    opt_keys.push_back(std::move(key));
     char* end = nullptr;
     long long iv = std::strtoll(val.c_str(), &end, 10);
     bool is_int = end && *end == '\0' && !val.empty();
@@ -154,6 +163,12 @@ int main(int argc, char** argv) {
     opt_ints.push_back(is_int ? iv : 0);
     opt_strs.push_back(std::move(val));
   }
+  const std::string manifest_path =
+      dir + (prefix == "forward" ? "/io_manifest.txt"
+                                 : "/" + prefix + "_manifest.txt");
+  const std::string cache_path =
+      dir + (prefix == "forward" ? "/cache_init.bin"
+                                 : "/" + prefix + "_cache_init.bin");
 
   void* handle = dlopen(plugin_path.c_str(), RTLD_NOW | RTLD_GLOBAL);
   if (!handle) {
@@ -214,9 +229,9 @@ int main(int argc, char** argv) {
   PJRT_Device* device = dev_args.addressable_devices[0];
 
   // ---- manifest --------------------------------------------------------
-  std::ifstream mf(dir + "/io_manifest.txt");
+  std::ifstream mf(manifest_path);
   if (!mf) {
-    std::fprintf(stderr, "cannot open %s/io_manifest.txt\n", dir.c_str());
+    std::fprintf(stderr, "cannot open %s\n", manifest_path.c_str());
     return 1;
   }
   int64_t chunk = 0, sample_rate = 0, batch = 0;
@@ -240,16 +255,25 @@ int main(int argc, char** argv) {
     for (size_t i = 0; i < ndims; ++i) ls >> spec.dims[i];
     (kind == "in" ? in_specs : out_specs).push_back(std::move(spec));
   }
+  // call convention: (cache..., extra...) -> (y, cache...), so the cache
+  // leaf count comes from the outputs; forward has one extra input (x),
+  // convert has three (x, speaker embedding, pitch feature)
   const size_t num_args = in_specs.size();
-  const size_t num_cache = num_args - 1;  // last input is the audio chunk
+  const size_t num_cache = out_specs.size() - 1;
+  if (num_cache > num_args) {
+    std::fprintf(stderr, "manifest: more cache outputs than inputs\n");
+    return 1;
+  }
+  const size_t num_extra = num_args - num_cache;
   std::fprintf(stderr,
-               "model: chunk=%lld sr=%lld batch=%lld cache_leaves=%zu\n",
-               static_cast<long long>(chunk),
+               "model: step=%s chunk=%lld sr=%lld batch=%lld "
+               "cache_leaves=%zu extra_inputs=%zu\n",
+               prefix.c_str(), static_cast<long long>(chunk),
                static_cast<long long>(sample_rate),
-               static_cast<long long>(batch), num_cache);
+               static_cast<long long>(batch), num_cache, num_extra);
 
   // ---- compile ---------------------------------------------------------
-  std::string mlir = ReadFile(dir + "/forward.mlir");
+  std::string mlir = ReadFile(dir + "/" + prefix + ".mlir");
   std::string copts = ReadFile(dir + "/compile_options.pb");
   PJRT_Program program;
   std::memset(&program, 0, sizeof(program));
@@ -276,28 +300,32 @@ int main(int argc, char** argv) {
                    .count());
 
   // ---- initial buffers -------------------------------------------------
-  std::string cache_init = ReadFile(dir + "/cache_init.bin");
+  std::string cache_init = ReadFile(cache_path);
   std::vector<PJRT_Buffer*> args_buf(num_args);
   size_t off = 0;
   for (size_t i = 0; i < num_cache; ++i) {
     if (off + in_specs[i].nbytes > cache_init.size()) {
-      std::fprintf(stderr, "cache_init.bin too small\n");
+      std::fprintf(stderr, "%s too small\n", cache_path.c_str());
       return 1;
     }
     args_buf[i] =
         HostToDevice(client, device, cache_init.data() + off, in_specs[i]);
     off += in_specs[i].nbytes;
   }
-  // audio input: silence (serving hosts would fill this from the DAW)
-  std::vector<uint8_t> x_host(in_specs[num_cache].nbytes, 0);
-  args_buf[num_cache] =
-      HostToDevice(client, device, x_host.data(), in_specs[num_cache]);
+  // extra inputs (audio chunk, and for convert: speaker embedding +
+  // pitch feature): silence/zeros -- serving hosts fill these per block
+  for (size_t i = num_cache; i < num_args; ++i) {
+    std::vector<uint8_t> host(in_specs[i].nbytes, 0);
+    args_buf[i] = HostToDevice(client, device, host.data(), in_specs[i]);
+  }
 
   // ---- run loop --------------------------------------------------------
-  // The cache args are donated (jax donate_argnums=(0,)): tell PJRT only
-  // the audio input is non-donatable, and rebind outputs 1..N as the next
+  // The cache args are donated (jax donate_argnums=(0,)): tell PJRT the
+  // extra inputs are non-donatable, and rebind outputs 1..N as the next
   // call's cache inputs.
-  const int64_t non_donatable[] = {static_cast<int64_t>(num_cache)};
+  std::vector<int64_t> non_donatable(num_extra);
+  for (size_t i = 0; i < num_extra; ++i)
+    non_donatable[i] = static_cast<int64_t>(num_cache + i);
   std::vector<PJRT_Buffer*> outs(out_specs.size());
   PJRT_Buffer** out_list = outs.data();
 
@@ -305,8 +333,8 @@ int main(int argc, char** argv) {
     PJRT_ExecuteOptions opts;
     std::memset(&opts, 0, sizeof(opts));
     opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
-    opts.non_donatable_input_indices = non_donatable;
-    opts.num_non_donatable_input_indices = 1;
+    opts.non_donatable_input_indices = non_donatable.data();
+    opts.num_non_donatable_input_indices = non_donatable.size();
 
     PJRT_Buffer* const* arg_list = args_buf.data();
     PJRT_Event* done = nullptr;

@@ -63,6 +63,12 @@ def main(argv=None):
     ex.add_argument("--target_sr", type=int, default=None,
                     help="host sample rate (integer multiple of the "
                          "model rate); adds streaming resampler stages")
+    ex.add_argument("--voice_conversion", action="store_true",
+                    help="also export the myforward conversion step "
+                         "(speaker-conditioned models)")
+    ex.add_argument("--speaker_wavs", nargs="*", default=[],
+                    help="target-speaker wavs whose embeddings become the "
+                         "exported speaker table (reference export.py:75-97)")
 
     ev = sub.add_parser("eval", help="speaker-embedding t-SNE evaluation "
                                      "(reference train_rave.py --eval)")

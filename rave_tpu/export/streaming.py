@@ -402,45 +402,59 @@ class StreamingRAVE:
         return out
 
     def _serialize_pjrt_host_artifacts(self, out: Path, exp) -> None:
-        """Artifacts for the C++ PJRT host (``native/pjrt_host.cpp``):
+        write_pjrt_artifacts(out, exp, self.cache,
+                             chunk=self.chunk,
+                             sampling_rate=self.cfg.sampling_rate,
+                             batch=self.batch)
 
-        * ``forward.mlir`` -- the raw (versioned) StableHLO module byte
-          code, compilable by any PJRT plugin via ``PJRT_Client_Compile``
-          (``exp.serialize()`` wraps it in jax.export metadata that only
-          jax can parse);
-        * ``compile_options.pb`` -- serialized default CompileOptionsProto;
-        * ``io_manifest.txt`` -- the flat call convention, one line per
-          leaf: inputs are the donated cache leaves (in pytree order)
-          followed by the audio chunk; outputs are the audio chunk
-          followed by the updated cache leaves;
-        * ``cache_init.bin`` -- the initial cache leaves, concatenated raw
-          little-endian in manifest order.
-        """
-        mlir = getattr(exp, "mlir_module_serialized", None)
-        if mlir is None:
-            mlir = exp.mlir_module().encode()
-        (out / "forward.mlir").write_bytes(mlir)
-        try:
-            from jaxlib.xla_client import CompileOptions
-            (out / "compile_options.pb").write_bytes(
-                CompileOptions().SerializeAsString())
-        except Exception:
-            (out / "compile_options.pb").write_bytes(b"")
 
-        lines = [f"meta {self.chunk} {self.cfg.sampling_rate} {self.batch}"]
-        for kind, avals in (("in", exp.in_avals), ("out", exp.out_avals)):
-            for a in jax.tree.leaves(avals):
-                dims = " ".join(str(d) for d in a.shape)
-                lines.append(
-                    f"{kind} {np.dtype(a.dtype).name} "
-                    f"{int(np.dtype(a.dtype).itemsize * np.prod(a.shape, dtype=np.int64))} "
-                    f"{len(a.shape)} {dims}".rstrip())
-        (out / "io_manifest.txt").write_text("\n".join(lines) + "\n")
+def write_pjrt_artifacts(out: Path, exp, cache, *, chunk: int,
+                         sampling_rate: int, batch: int,
+                         prefix: str = "forward") -> None:
+    """Artifacts for the C++ PJRT host (``native/pjrt_host.cpp``):
 
-        flat, _ = jax.tree.flatten(self.cache)
-        with open(out / "cache_init.bin", "wb") as f:
-            for v in flat:
-                f.write(np.ascontiguousarray(np.asarray(v)).tobytes())
+    * ``<prefix>.mlir`` -- the raw (versioned) StableHLO module byte
+      code, compilable by any PJRT plugin via ``PJRT_Client_Compile``
+      (``exp.serialize()`` wraps it in jax.export metadata that only
+      jax can parse);
+    * ``compile_options.pb`` -- serialized default CompileOptionsProto;
+    * ``<prefix=forward: io_manifest.txt, else <prefix>_manifest.txt>`` --
+      the flat call convention, one line per leaf: inputs are the donated
+      cache leaves (in pytree order) followed by the non-cache args;
+      outputs are the result leaves followed by the updated cache leaves;
+    * ``<prefix>_cache_init.bin`` (``cache_init.bin`` for forward) -- the
+      initial cache leaves, concatenated raw little-endian in manifest
+      order.
+    """
+    mlir = getattr(exp, "mlir_module_serialized", None)
+    if mlir is None:
+        mlir = exp.mlir_module().encode()
+    (out / f"{prefix}.mlir").write_bytes(mlir)
+    try:
+        from jaxlib.xla_client import CompileOptions
+        (out / "compile_options.pb").write_bytes(
+            CompileOptions().SerializeAsString())
+    except Exception:
+        (out / "compile_options.pb").write_bytes(b"")
+
+    lines = [f"meta {chunk} {sampling_rate} {batch}"]
+    for kind, avals in (("in", exp.in_avals), ("out", exp.out_avals)):
+        for a in jax.tree.leaves(avals):
+            dims = " ".join(str(d) for d in a.shape)
+            lines.append(
+                f"{kind} {np.dtype(a.dtype).name} "
+                f"{int(np.dtype(a.dtype).itemsize * np.prod(a.shape, dtype=np.int64))} "
+                f"{len(a.shape)} {dims}".rstrip())
+    manifest = "io_manifest.txt" if prefix == "forward" \
+        else f"{prefix}_manifest.txt"
+    (out / manifest).write_text("\n".join(lines) + "\n")
+
+    flat, _ = jax.tree.flatten(cache)
+    cbin = "cache_init.bin" if prefix == "forward" \
+        else f"{prefix}_cache_init.bin"
+    with open(out / cbin, "wb") as f:
+        for v in flat:
+            f.write(np.ascontiguousarray(np.asarray(v)).tobytes())
 
 
 def load_run(run_dir: str):
@@ -479,3 +493,17 @@ def export_main(args) -> None:
     out = sr.serialize(Path(args.run) / "export")
     print(f"exported streaming model to {out} "
           f"(delay {sr.total_delay_samples()} samples)")
+
+    if getattr(args, "voice_conversion", False):
+        if cfg.speaker_embedding_size == 0:
+            raise SystemExit("--voice_conversion needs a speaker-"
+                             "conditioned model (e.g. v2_fork)")
+        from .voice_conversion import VoiceConverter
+        wavs = list(getattr(args, "speaker_wavs", []) or [])
+        table = (VoiceConverter.build_speaker_table(cfg, params, wavs)
+                 if wavs else None)
+        vc = VoiceConverter(cfg, params, chunk_size=args.chunk_size,
+                            speaker_table=table)
+        vc.serialize(out)
+        print(f"exported voice-conversion step to {out} "
+              f"({len(vc.speaker_table)} speaker embeddings)")

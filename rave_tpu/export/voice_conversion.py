@@ -152,6 +152,78 @@ class VoiceConverter:
             return self._target_acc / self._target_n
         return self.speaker_table[self.speaker]
 
+    # ---- speaker table (reference export.py:75-97 precomputes the
+    # target embeddings from wav files at export time) -------------------
+
+    def embed_speaker_audio(self, x: np.ndarray) -> np.ndarray:
+        """Whole-utterance speaker embedding (256,) from target audio,
+        computed on a fresh cache so it does not disturb the stream."""
+        pad = (-len(x)) % self.chunk
+        xj = jnp.asarray(np.pad(x.astype(np.float32), (0, pad))
+                         .reshape(1, -1, 1))
+        e, _ = self._spk(jax.tree.map(jnp.zeros_like, self.init_cache), xj)
+        return np.asarray(e[0])
+
+    @staticmethod
+    def build_speaker_table(cfg: RAVEConfig, params,
+                            wav_paths: list) -> np.ndarray:
+        """Embedding table from target-speaker wavs (the reference bakes
+        speaker1..speaker4 buffers into ScriptedRAVE, export.py:75-97)."""
+        from ..data.audio_io import load_wav
+        vc = VoiceConverter(cfg, params)
+        rows = []
+        for p in wav_paths:
+            x, sr = load_wav(p)
+            if sr != cfg.sampling_rate:
+                raise ValueError(f"{p}: {sr} != model sr {cfg.sampling_rate}")
+            rows.append(vc.embed_speaker_audio(x))
+        return np.stack(rows).astype(np.float32)
+
+    # ---- AOT serialisation ----------------------------------------------
+
+    def serialize(self, out_dir: str):
+        """StableHLO artifacts of the conversion step for PJRT hosts:
+
+        * ``convert.stablehlo`` / ``convert.mlir`` -- one block of
+          ``myforward``: (cache, x_chunk, emb[, pitch_feat]) ->
+          (y_chunk, cache) (reference registers myforward on the nn~
+          surface, export.py:229-240,343-413);
+        * ``spk_embed.stablehlo`` -- (cache, x_chunk) -> (emb, cache) for
+          learn-target streaming;
+        * ``speaker_table.npy`` (written by the CLI), manifest + initial
+          cache for the C++ host (native/pjrt_host.cpp).
+        """
+        from pathlib import Path
+        import json
+        from jax import export as jexport
+        from .streaming import write_pjrt_artifacts
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        cache = jax.tree.map(jnp.zeros_like, self.init_cache)
+        x = jnp.zeros((1, self.chunk, 1), jnp.float32)
+        emb = jnp.zeros((self.cfg.speaker_embedding_size,), jnp.float32)
+        feat = (jnp.zeros((1, self.chunk // self.cfg.total_ratio(),
+                           self.cfg.pitch_embedding_size), jnp.float32)
+                if self._pitch else None)
+        exp = jexport.export(self._fwd)(cache, x, emb, feat)
+        (out / "convert.stablehlo").write_bytes(exp.serialize())
+        (out / "spk_embed.stablehlo").write_bytes(
+            jexport.export(self._spk)(cache, x).serialize())
+        write_pjrt_artifacts(out, exp, cache, chunk=self.chunk,
+                             sampling_rate=self.cfg.sampling_rate,
+                             batch=1, prefix="convert")
+        meta = dict(chunk_size=self.chunk,
+                    sampling_rate=self.cfg.sampling_rate,
+                    speaker_embedding_size=self.cfg.speaker_embedding_size,
+                    pitch_embedding_size=self.cfg.pitch_embedding_size,
+                    pitch_hop=self.cfg.pitch_hop,
+                    n_speakers=len(self.speaker_table),
+                    config=self.cfg.name)
+        (out / "convert_meta.json").write_text(json.dumps(meta, indent=2))
+        np.save(out / "speaker_table.npy", self.speaker_table)
+        return out
+
     # ---- per-block processing -----------------------------------------
 
     def forward(self, x_chunk: np.ndarray) -> np.ndarray:

@@ -215,3 +215,39 @@ def test_pjrt_host_artifacts(tmp_path):
     mlir = (out / "forward.mlir").read_bytes()
     # MLIR bytecode magic is "ML\xefR"; textual fallback starts with module
     assert mlir[:4] == b"ML\xefR" or b"module" in mlir[:4096]
+
+
+def test_voice_conversion_export_roundtrip(tmp_path):
+    """The myforward conversion step exports to StableHLO and the
+    deserialised artifact reproduces the live jitted step (the C++ host
+    serves this artifact; reference nn~ myforward, export.py:343-413)."""
+    from jax import export as jexport
+    from rave_tpu.export.voice_conversion import VoiceConverter
+
+    cfg = build_config(["v2_fork", "pitch"], TINY)
+    off = RAVE(cfg=cfg, train_mode=False)
+    x0 = jnp.zeros((1, 16384, 1), jnp.float32)
+    variables = jax.jit(off.init)(_rngs(), x0)
+    table = np.random.default_rng(0).normal(
+        size=(3, cfg.speaker_embedding_size)).astype(np.float32)
+    vc = VoiceConverter(cfg, variables["params"], chunk_size=2048,
+                        speaker_table=table)
+    out = vc.serialize(str(tmp_path / "export"))
+
+    for f in ["convert.stablehlo", "convert.mlir", "spk_embed.stablehlo",
+              "convert_manifest.txt", "convert_cache_init.bin",
+              "convert_meta.json", "speaker_table.npy"]:
+        assert (out / f).exists(), f
+
+    exp = jexport.deserialize((out / "convert.stablehlo").read_bytes())
+    cache = jax.tree.map(jnp.zeros_like, vc.init_cache)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(1, 2048, 1)).astype(np.float32) * 0.1)
+    emb = jnp.asarray(table[1])
+    feat = jnp.zeros((1, 2048 // cfg.total_ratio(),
+                      cfg.pitch_embedding_size), jnp.float32)
+    y_art, cache_art = exp.call(cache, x, emb, feat)
+    y_live, cache_live = vc._fwd(
+        jax.tree.map(jnp.zeros_like, vc.init_cache), x, emb, feat)
+    np.testing.assert_allclose(np.asarray(y_art), np.asarray(y_live),
+                               rtol=1e-4, atol=1e-5)
