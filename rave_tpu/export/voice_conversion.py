@@ -83,6 +83,7 @@ class VoiceConverter:
                                       mutable=["cache"])
             return e, upd["cache"]
 
+        self._fwd_fn = fwd
         self._fwd = jax.jit(fwd)
         self._spk = jax.jit(spk_embed)
 
@@ -222,6 +223,38 @@ class VoiceConverter:
                     config=self.cfg.name)
         (out / "convert_meta.json").write_text(json.dumps(meta, indent=2))
         np.save(out / "speaker_table.npy", self.speaker_table)
+
+        if self._pitch:
+            # fully self-contained variant for no-Python hosts: f0
+            # extraction in-graph (the reference's myforward runs YIN
+            # inside the TorchScript graph, export.py:349-359); the YIN
+            # left-context rides in the exported state pytree and the
+            # per-block stats are per-utterance like myforward's
+            cfg = self.cfg
+            tail_len = self._f0_frame - self._f0_hop
+            z_frames = self.chunk // cfg.total_ratio()
+
+            def fwd_pg(carry, x, emb):
+                from ..ops.pitch import (f0_norm_feature, voiced_log_stats,
+                                         yin_f0)
+                xc = jnp.concatenate([carry["f0_tail"], x[:, :, 0]], axis=1)
+                f0 = yin_f0(xc, cfg.sampling_rate, self._f0_frame,
+                            self._f0_hop, cfg.pitch_fmin, cfg.pitch_fmax)
+                med, std = voiced_log_stats(f0)
+                feat = f0_norm_feature(f0, med, std, z_frames,
+                                       cfg.pitch_embedding_size)
+                y, cache2 = self._fwd_fn(carry["cache"], x, emb, feat)
+                return y, {"cache": cache2,
+                           "f0_tail": xc[:, -tail_len:]}
+
+            carry = {"cache": cache,
+                     "f0_tail": jnp.zeros((1, tail_len), jnp.float32)}
+            exp_pg = jexport.export(jax.jit(fwd_pg, donate_argnums=(0,)))(
+                carry, x, emb)
+            (out / "convert_pg.stablehlo").write_bytes(exp_pg.serialize())
+            write_pjrt_artifacts(out, exp_pg, carry, chunk=self.chunk,
+                                 sampling_rate=cfg.sampling_rate,
+                                 batch=1, prefix="convert_pg")
         return out
 
     # ---- per-block processing -----------------------------------------

@@ -251,3 +251,19 @@ def test_voice_conversion_export_roundtrip(tmp_path):
         jax.tree.map(jnp.zeros_like, vc.init_cache), x, emb, feat)
     np.testing.assert_allclose(np.asarray(y_art), np.asarray(y_live),
                                rtol=1e-4, atol=1e-5)
+
+    # self-contained in-graph-pitch variant: runs from zero state and
+    # agrees with the host-side pitch path on an all-unvoiced block
+    # (zero feature either way)
+    for f in ["convert_pg.stablehlo", "convert_pg.mlir",
+              "convert_pg_manifest.txt", "convert_pg_cache_init.bin"]:
+        assert (out / f).exists(), f
+    exp_pg = jexport.deserialize((out / "convert_pg.stablehlo").read_bytes())
+    tail = jnp.zeros((1, vc._f0_frame - vc._f0_hop), jnp.float32)
+    carry = {"cache": jax.tree.map(jnp.zeros_like, vc.init_cache),
+             "f0_tail": tail}
+    y_pg, carry2 = exp_pg.call(carry, jnp.zeros_like(x), emb)
+    y_z, _ = vc._fwd(jax.tree.map(jnp.zeros_like, vc.init_cache),
+                     jnp.zeros_like(x), emb, jnp.zeros_like(feat))
+    np.testing.assert_allclose(np.asarray(y_pg), np.asarray(y_z),
+                               rtol=1e-4, atol=1e-5)
