@@ -210,5 +210,6 @@ def train_main(args) -> None:
     if is_main:
         ckpt.save(state)
         ckpt.wait()
+        logger.status(int(state.step), {"finished": 1.0})
     print(f"finished at step {int(state.step)} "
           f"({time.time() - t0:.0f}s)")
