@@ -77,17 +77,21 @@ class WNConv(nn.Module):
         padding = self.padding
         if padding is None:
             padding = [((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size]
+        # compute in the INPUT dtype (params stay f32): casting x up to
+        # f32 instead silently disabled bf16 for every discriminator
+        dtype = x.dtype
         y = jax.lax.conv_general_dilated(
-            x.astype(kernel.dtype), kernel,
+            x, kernel.astype(dtype),
             window_strides=strides,
             padding=list(padding),
             rhs_dilation=tuple(self.dilation or (1,) * nd),
             dimension_numbers=spec,
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=dtype,
         )
         if self.use_bias:
-            y = y + self.param("bias", _wn_init(fan_in), (self.features,))
+            y = y + self.param("bias", _wn_init(fan_in),
+                               (self.features,)).astype(dtype)
         return y
 
 

@@ -24,6 +24,8 @@ def mod_sigmoid(x: jax.Array) -> jax.Array:
 def mean_difference(target: jax.Array, value: jax.Array, norm: str = "L1",
                     relative: bool = False) -> jax.Array:
     """Reference ``rave/core.py:245-261``."""
+    target = target.astype(jnp.float32)
+    value = value.astype(jnp.float32)
     diff = target - value
     if norm == "L1":
         d = jnp.mean(jnp.abs(diff))

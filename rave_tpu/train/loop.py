@@ -155,13 +155,17 @@ def _gan_terms(cfg, disc, dis_params, x, y):
     model.py:461-519) through the same interface.
     """
     gan = L.GAN_LOSSES[cfg.gan_loss]
-    feats_real = disc.apply({"params": dis_params}, x)
-    feats_fake = disc.apply({"params": dis_params}, y)
+    # run both discriminator passes in the compute dtype: the real-audio
+    # side otherwise stays f32 (batch dtype) and costs ~2x on the MXU
+    cdt = jnp.dtype(cfg.compute_dtype)
+    feats_real = disc.apply({"params": dis_params}, x.astype(cdt))
+    feats_fake = disc.apply({"params": dis_params}, y.astype(cdt))
     weights = _sub_weights(cfg)
     loss_dis = jnp.float32(0.0)
     loss_adv = jnp.float32(0.0)
     for i, (fr, ff) in enumerate(zip(feats_real, feats_fake)):
-        _dis, _adv = gan(fr[-1], ff[-1])
+        _dis, _adv = gan(fr[-1].astype(jnp.float32),
+                         ff[-1].astype(jnp.float32))
         w = weights[i] if weights is not None else 1.0
         loss_dis = loss_dis + w * _dis
         loss_adv = loss_adv + w * _adv
