@@ -23,16 +23,22 @@ def mod_sigmoid(x: jax.Array) -> jax.Array:
 
 def mean_difference(target: jax.Array, value: jax.Array, norm: str = "L1",
                     relative: bool = False) -> jax.Array:
-    """Reference ``rave/core.py:245-261``."""
-    target = target.astype(jnp.float32)
-    value = value.astype(jnp.float32)
+    """Reference ``rave/core.py:245-261``.
+
+    Elementwise math stays in the input dtype (bf16 reads half the HBM
+    bytes of f32 -- these reductions stream every discriminator feature
+    map); accumulation is forced to f32 via ``jnp.mean(dtype=...)``."""
     diff = target - value
     if norm == "L1":
-        d = jnp.mean(jnp.abs(diff))
-        return d / jnp.mean(jnp.abs(target)) if relative else d
+        d = jnp.mean(jnp.abs(diff), dtype=jnp.float32)
+        if relative:
+            return d / jnp.mean(jnp.abs(target), dtype=jnp.float32)
+        return d
     if norm == "L2":
-        d = jnp.mean(diff * diff)
-        return d / jnp.mean(target * target) if relative else d
+        d = jnp.mean(diff * diff, dtype=jnp.float32)
+        if relative:
+            return d / jnp.mean(target * target, dtype=jnp.float32)
+        return d
     raise ValueError(f"norm must be L1 or L2, got {norm}")
 
 
