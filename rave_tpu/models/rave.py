@@ -35,10 +35,11 @@ class CrossEntropyProjection(nn.Module):
     ``rave/model.py:113-123``): LayerNorm over time, 1x1 conv to
     ``units`` classes, linear-interp to ``target_frames``."""
     units: int = 100
-    target_frames: int = 148
+    target_frames: int = 148  # reference model.py:123 (50 Hz units @ ~3 s)
 
     @nn.compact
-    def __call__(self, z: jax.Array) -> jax.Array:
+    def __call__(self, z: jax.Array,
+                 target_frames: Optional[int] = None) -> jax.Array:
         # z: (B, T, C). Reference LayerNorm(256) normalises the *time* dim
         # of the (B, C, T) tensor; we mirror that (normalise over T).
         zt = z.transpose(0, 2, 1)  # (B, C, T)
@@ -46,11 +47,13 @@ class CrossEntropyProjection(nn.Module):
         z = zt.transpose(0, 2, 1)
         logits = nn.Dense(self.units)(z)  # 1x1 conv over time == dense
         # F.interpolate(.., target_frames) on (B, units, T): nearest? the
-        # reference uses default mode='nearest'
+        # reference uses default mode='nearest'.  target_frames follows
+        # the unit provider's actual frame count (the reference hard-codes
+        # its 131072 @ 44.1 kHz value); the default keeps parity.
+        tf = target_frames or self.target_frames
         B, T, U = logits.shape
-        idx = jnp.clip((jnp.arange(self.target_frames) * T)
-                       // self.target_frames, 0, T - 1)
-        return logits[:, idx, :]  # (B, target_frames, units)
+        idx = jnp.clip((jnp.arange(tf) * T) // tf, 0, T - 1)
+        return logits[:, idx, :]  # (B, tf, units)
 
 
 class RAVE(nn.Module):
@@ -228,8 +231,9 @@ class RAVE(nn.Module):
             return self.latent(z, rng, train=train, enabled=enabled)
         return self.latent(z, rng)
 
-    def project_units(self, z: jax.Array) -> jax.Array:
-        return self.ce_projection(z)
+    def project_units(self, z: jax.Array,
+                      target_frames: Optional[int] = None) -> jax.Array:
+        return self.ce_projection(z, target_frames)
 
     def decode_bands(self, z: jax.Array,
                      rng: Optional[jax.Array] = None,

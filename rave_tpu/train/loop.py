@@ -195,10 +195,13 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
     # CE loss against HuBERT units (fork path, model.py:345-347)
     ce_loss = jnp.float32(0.0)
     if cfg.hubert_units > 0 and "units" in batch:
-        logits = model.apply(variables, z_pre, method=RAVE.project_units)
         units = batch["units"]  # (B, frames) int
-        tgt_frames = logits.shape[1]
-        oh = jax.nn.one_hot(units[:, :tgt_frames], cfg.hubert_units)
+        # interpolate the latent projection to the unit provider's actual
+        # frame count (the reference hard-codes 148 for its 131072-sample
+        # clips, model.py:123)
+        logits = model.apply(variables, z_pre, units.shape[1],
+                             method=RAVE.project_units)
+        oh = jax.nn.one_hot(units, cfg.hubert_units)
         ce_loss = -jnp.mean(
             jnp.sum(jax.nn.log_softmax(logits) * oh, axis=-1))
 

@@ -42,15 +42,15 @@ def workdir(tmp_path_factory):
             x = 0.4 * np.sin(2 * np.pi * (110 + 80 * i) * t)
             x += 0.01 * rng.standard_normal(t.size)
             save_wav(d / f"s{i}.wav", x.astype(np.float32), SR)
+    cli_main(["preprocess", "--input_path", str(audio),
+              "--output_path", str(root / "db"), "--num_signal", "2048",
+              "--sampling_rate", str(SR), "--num_workers", "1"])
     return root
 
 
 def test_cli_preprocess_train_resume_export(workdir):
     db = workdir / "db"
     runs = workdir / "runs"
-    cli_main(["preprocess", "--input_path", str(workdir / "audio"),
-              "--output_path", str(db), "--num_signal", "2048",
-              "--sampling_rate", str(SR), "--num_workers", "1"])
     meta = json.loads((db / "meta.json").read_text())
     assert meta["count"] > 4 and meta["speakers"] == ["a", "b"]
 
@@ -83,3 +83,37 @@ def test_cli_preprocess_train_resume_export(workdir):
     art = jexport.deserialize((exp / "forward.stablehlo").read_bytes())
     manifest = (exp / "io_manifest.txt").read_text()
     assert "forward" in manifest or art.in_avals is not None
+
+
+def test_cli_voice_conversion_pipeline(workdir):
+    """The fork's full VC pipeline as the user drives it: units +
+    speaker_stats -> v2_fork train -> speaker t-SNE eval -> VC export
+    (reference train_rave.py + scripts/export.py myforward)."""
+    db = workdir / "db"
+    runs = workdir / "runs"
+    cli_main(["units", "--db_path", str(db), "--num_units", "8"])
+    assert (db / "units.npy").exists() and (db / "unit_codebook.npy").exists()
+    cli_main(["speaker_stats", "--db_path", str(db),
+              "--out", str(db / "speaker_stats.json")])
+    stats = json.loads((db / "speaker_stats.json").read_text())
+    assert set(stats) == {"a", "b"} and "mean" in stats["a"]
+
+    cli_main(["train", "--config", "v2_fork", *TINY,
+              "--override", "hubert_units=8",
+              "--override", "mr_stft_specs_ms=[[5,25]]",
+              "--db_path", str(db), "--name", "vc",
+              "--out_path", str(runs), "--val_every", "0",
+              "--ckpt_every", "0", "--max_steps", "3"])
+    run_dir = next(runs.glob("vc_*"))
+
+    cli_main(["eval", "--run", str(run_dir), "--db_path", str(db),
+              "--max_items", "16"])
+    assert (run_dir / "speaker_embeddings.json").exists()
+
+    wav = next((workdir / "audio" / "b").glob("*.wav"))
+    cli_main(["export", "--run", str(run_dir), "--voice_conversion",
+              "--speaker_wavs", str(wav)])
+    exp = run_dir / "export"
+    vc = [p.name for p in exp.iterdir() if "convert" in p.name
+          or "speaker" in p.name]
+    assert vc, f"no VC artifacts in {sorted(p.name for p in exp.iterdir())}"
