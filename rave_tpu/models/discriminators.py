@@ -52,6 +52,10 @@ class WNConv(nn.Module):
     dilation: Optional[Sequence[int]] = None
     use_bias: bool = True
     weight_norm: bool = True
+    # >0: fold f_pack frequency rows into channels (2D convs with
+    # strides (s, 1) / dilation (1, d) only).  Same params, same output;
+    # parameter layout is unchanged so checkpoints are interchangeable.
+    f_pack: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -80,19 +84,73 @@ class WNConv(nn.Module):
         # compute in the INPUT dtype (params stay f32): casting x up to
         # f32 instead silently disabled bf16 for every discriminator
         dtype = x.dtype
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(dtype),
-            window_strides=strides,
-            padding=list(padding),
-            rhs_dilation=tuple(self.dilation or (1,) * nd),
-            dimension_numbers=spec,
-            feature_group_count=self.groups,
-            preferred_element_type=dtype,
-        )
+        dilation = tuple(self.dilation or (1,) * nd)
+        if self.f_pack:
+            assert (nd == 2 and self.groups == 1 and strides[1] == 1
+                    and dilation[0] == 1), (strides, dilation)
+            (ph, _), (pw, _) = padding
+            y = _f_packed_conv2d(x, kernel.astype(dtype), strides[0],
+                                 dilation[1], ph, pw, self.f_pack)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(dtype),
+                window_strides=strides,
+                padding=list(padding),
+                rhs_dilation=dilation,
+                dimension_numbers=spec,
+                feature_group_count=self.groups,
+                preferred_element_type=dtype,
+            )
         if self.use_bias:
             y = y + self.param("bias", _wn_init(fan_in),
                                (self.features,)).astype(dtype)
         return y
+
+
+def _pack_weight_f(kernel: jax.Array, p: int, sh: int) -> jax.Array:
+    """Regroup an (kh, kw, Ci, Co) kernel for the F-packed formulation.
+
+    Output block q (of ``pout = p // sh`` per packed row) at packed-row j
+    reads input rows ``j*p + q*sh + i`` (i < kh), i.e. packed rows j and
+    j+1 only (requires ``kh <= p + sh``).  The returned kernel has shape
+    (2, kw, p*Ci, pout*Co): a 2-tap conv over the packed-row axis.
+    """
+    kh, kw, ci, co = kernel.shape
+    pout = p // sh
+    kbi = np.arange(2)[:, None, None]
+    r = np.arange(p)[None, :, None]
+    q = np.arange(pout)[None, None, :]
+    dh = kbi * p + r - q * sh                       # (2, p, pout)
+    onehot = (dh[..., None] == np.arange(kh)).astype(kernel.dtype)
+    wg = jnp.einsum("bpqk,kwio->bpqwio", jnp.asarray(onehot), kernel)
+    return wg.transpose(0, 3, 1, 4, 2, 5).reshape(2, kw, p * ci, pout * co)
+
+
+def _f_packed_conv2d(x: jax.Array, kernel: jax.Array, sh: int, dw: int,
+                     ph: int, pw: int, p: int) -> jax.Array:
+    """(B, F, T, Ci) conv equal to the native (kh, kw) conv with strides
+    (sh, 1), dilation (1, dw), padding ((ph, ph), (pw, pw)) — but with p
+    frequency rows folded into channels so the MXU sees Ci*p / Co*pout
+    channel dims instead of lane-padded tiny ones.  Measured 1.28x on
+    the Encodec spectral-disc chain fwd+bwd at bench shapes (v5e).
+    """
+    B, F, T, Ci = x.shape
+    kh, kw, _, Co = kernel.shape
+    assert kh <= p + sh and p % sh == 0, (kh, p, sh)
+    pout = p // sh
+    fo = (F + 2 * ph - kh) // sh + 1
+    nb = -(-fo // pout)
+    fpad = (nb + 1) * p
+    xp = jnp.pad(x, ((0, 0), (ph, fpad - F - ph), (0, 0), (0, 0)))
+    xp = xp.reshape(B, nb + 1, p, T, Ci).transpose(0, 1, 3, 2, 4)
+    xp = xp.reshape(B, nb + 1, T, p * Ci)
+    wp = _pack_weight_f(kernel, p, sh)
+    y = jax.lax.conv_general_dilated(
+        xp, wp, (1, 1), padding=[(0, 0), (pw, pw)],
+        rhs_dilation=(1, dw), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    y = y.reshape(B, nb, T, pout, Co).transpose(0, 1, 3, 2, 4)
+    return y.reshape(B, nb * pout, T, Co)[:, :fo]
 
 
 def _avg_pool_1d(x: jax.Array, window: int = 2) -> jax.Array:
@@ -179,8 +237,15 @@ class MultiScaleDiscriminator(nn.Module):
 
 class EncodecConvNet(nn.Module):
     """2D conv stack over complex STFT (reference
-    ``discriminator.py:54-74``)."""
+    ``discriminator.py:54-74``).
+
+    ``packed=True`` (default) folds frequency rows into channels so the
+    32-channel convs present MXU-sized channel dims instead of
+    lane-padded ones; outputs and parameters are identical to the
+    native formulation (see ``_f_packed_conv2d``).
+    """
     capacity: int = 32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
@@ -196,10 +261,15 @@ class EncodecConvNet(nn.Module):
         for i, s in enumerate(specs):
             kh, kw = s["kernel_size"]
             dh, dw = s.get("dilation", (1, 1))
+            sh = s["strides"][0]
             ph, pw = (kh - 1) * dh // 2, (kw - 1) * dw // 2
+            f_pack = 0
+            if self.packed:
+                # minimal p with kh <= p + sh and p % sh == 0
+                f_pack = max(4, sh * (-(-(kh - sh) // sh)))
             x = WNConv(features=self.capacity, kernel_size=(kh, kw),
                        strides=s["strides"], dilation=(dh, dw),
-                       padding=[(ph, ph), (pw, pw)])(x)
+                       padding=[(ph, ph), (pw, pw)], f_pack=f_pack)(x)
             x = nn.leaky_relu(x, 0.2)
             feats.append(x)
         x = WNConv(features=1, kernel_size=(3, 3),
@@ -213,6 +283,7 @@ class MultiScaleSpectralDiscriminator(nn.Module):
     ``discriminator.py:139-155``)."""
     scales: Sequence[int] = (4096, 2048, 1024, 512, 256)
     capacity: int = 32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
@@ -221,9 +292,14 @@ class MultiScaleSpectralDiscriminator(nn.Module):
         out = []
         for i, scale in enumerate(self.scales):
             s = stft(sig, scale, scale // 4, center=False, normalized=True)
-            # (B, frames, bins) complex -> (B, bins, frames, 2)
+            # (B, frames, bins) complex -> (B, bins, frames, 2).
+            # The FFT itself runs f32 (ops/stft.py); cast back so the
+            # conv chain runs in the compute dtype -- without this the
+            # whole Encodec stack silently upcast to f32 under bf16.
             z = jnp.stack([s.real, s.imag], -1).transpose(0, 2, 1, 3)
+            z = z.astype(sig.dtype)
             out.append(EncodecConvNet(capacity=self.capacity,
+                                      packed=self.packed,
                                       name=f"spec{i}")(z))
         return out
 
@@ -305,7 +381,7 @@ class UnivNetResolutionDiscriminator(nn.Module):
         sig = jnp.pad(sig, ((0, 0), (pad, pad)), mode="reflect")
         s = stft(sig, n_fft, hop, win_length=win, center=False)
         mag = jnp.abs(s)  # (B, frames, bins)
-        z = mag[..., None]  # (B, T', F, 1)
+        z = mag[..., None].astype(sig.dtype)  # (B, T', F, 1)
 
         feats = []
         for i in range(4):
@@ -471,8 +547,9 @@ class DescriptMRD(nn.Module):
         sig = x[..., 0]
         s = stft(sig, self.window_length,
                  int(self.hop_factor * self.window_length))
-        # (B, T', F) complex -> (B, T', F, 2)
-        z = jnp.stack([s.real, s.imag], -1)
+        # (B, T', F) complex -> (B, T', F, 2), back in the compute dtype
+        # (the FFT itself runs f32, ops/stft.py:82)
+        z = jnp.stack([s.real, s.imag], -1).astype(sig.dtype)
         n_fft = self.window_length // 2 + 1
         bands = [(int(b0 * n_fft), int(b1 * n_fft)) for b0, b1 in self.bands]
 
