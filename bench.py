@@ -120,19 +120,30 @@ def bench_stream_decode(n_chunks: int = 50, chunk: int = 4096):
     for _ in range(10):  # discard the pipelined first burst (see bench_train)
         y, cache = dec(cache, z)
     sync(y)
-    t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        y, cache = dec(cache, z)
-    sync(y)
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(2 * n_chunks):
-        y, cache = dec(cache, z)
-    sync(y)
-    t2 = time.perf_counter() - t0
+
+    def run(n):
+        nonlocal y, cache
+        t0 = time.perf_counter()
+        for _ in range(n):
+            y, cache = dec(cache, z)
+        sync(y)
+        return time.perf_counter() - t0
+
+    # per-chunk time is sub-ms, so a single differential is at the mercy
+    # of tunnel jitter (can even go negative): repeat and keep the best
+    # POSITIVE differential; fall back to the absolute 2N window if every
+    # differential drowns in noise
     audio_seconds = n_chunks * chunk / cfg.sampling_rate
-    rtf = (t2 - t1) / audio_seconds
-    log(f"decode RTF {rtf:.5f} ({chunk}-sample chunks, differential)")
+    diffs = []
+    t2 = None
+    for _ in range(3):
+        t1 = run(n_chunks)
+        t2 = run(2 * n_chunks)
+        diffs.append(t2 - t1)
+    pos = [d for d in diffs if d > 0]
+    rtf = (min(pos) if pos else t2 / 2) / audio_seconds
+    log(f"decode RTF {rtf:.5f} ({chunk}-sample chunks, "
+        f"best-of-{len(diffs)} differential)")
 
     # offline throughput mode: the whole chunk loop as one lax.scan
     # program -- one dispatch per clip, not per chunk

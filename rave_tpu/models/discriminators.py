@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
+from flax import struct
 
 from ..ops.stft import stft
 from ..ops.pqmf import kaiser_filter
@@ -52,10 +53,11 @@ class WNConv(nn.Module):
     dilation: Optional[Sequence[int]] = None
     use_bias: bool = True
     weight_norm: bool = True
-    # >0: fold f_pack frequency rows into channels (2D convs with
-    # strides (s, 1) / dilation (1, d) only).  Same params, same output;
-    # parameter layout is unchanged so checkpoints are interchangeable.
-    f_pack: int = 0
+    # "conv": normal behaviour.  "kernel": return the materialised
+    # (kernel, bias) instead of convolving -- used by the packed-resident
+    # spectral-disc chain, which owns the conv itself.  Parameter names
+    # and shapes are identical in both modes (checkpoint compatible).
+    mode: str = "conv"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -85,72 +87,124 @@ class WNConv(nn.Module):
         # f32 instead silently disabled bf16 for every discriminator
         dtype = x.dtype
         dilation = tuple(self.dilation or (1,) * nd)
-        if self.f_pack:
-            assert (nd == 2 and self.groups == 1 and strides[1] == 1
-                    and dilation[0] == 1), (strides, dilation)
-            (ph, _), (pw, _) = padding
-            y = _f_packed_conv2d(x, kernel.astype(dtype), strides[0],
-                                 dilation[1], ph, pw, self.f_pack)
-        else:
-            y = jax.lax.conv_general_dilated(
-                x, kernel.astype(dtype),
-                window_strides=strides,
-                padding=list(padding),
-                rhs_dilation=dilation,
-                dimension_numbers=spec,
-                feature_group_count=self.groups,
-                preferred_element_type=dtype,
-            )
-        if self.use_bias:
-            y = y + self.param("bias", _wn_init(fan_in),
-                               (self.features,)).astype(dtype)
+        bias = (self.param("bias", _wn_init(fan_in), (self.features,))
+                if self.use_bias else None)
+        if self.mode == "kernel":
+            return (kernel.astype(dtype),
+                    None if bias is None else bias.astype(dtype))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(dtype),
+            window_strides=strides,
+            padding=list(padding),
+            rhs_dilation=dilation,
+            dimension_numbers=spec,
+            feature_group_count=self.groups,
+            preferred_element_type=dtype,
+        )
+        if bias is not None:
+            y = y + bias.astype(dtype)
         return y
 
 
-def _pack_weight_f(kernel: jax.Array, p: int, sh: int) -> jax.Array:
-    """Regroup an (kh, kw, Ci, Co) kernel for the F-packed formulation.
+# ----------------------------------------------------------------------
+# Packed-resident spectral-disc chain.
+#
+# The Encodec spectral discriminator's 2D convs have 2/32-channel dims
+# that tile at 3-25% MXU (lane width 128) and, formulated natively, every
+# layer pays pad + layout-copy + slice HBM round trips.  Here p frequency
+# rows are folded into channels ONCE and every layer consumes/produces
+# the packed layout directly: activation traffic is one read + one write
+# per layer, and channel dims are p*Ci / (p/stride)*Co.  Semantics are
+# identical to the native convs (the ph zero-padding is folded into the
+# regrouped kernel taps, and out-of-range rows are kept at exact zero by
+# a fused static mask).
+# ----------------------------------------------------------------------
 
-    Output block q (of ``pout = p // sh`` per packed row) at packed-row j
-    reads input rows ``j*p + q*sh + i`` (i < kh), i.e. packed rows j and
-    j+1 only (requires ``kh <= p + sh``).  The returned kernel has shape
-    (2, kw, p*Ci, pout*Co): a 2-tap conv over the packed-row axis.
+class PackedFeature(struct.PyTreeNode):
+    """A feature map in packed layout: ``data`` is (B, nb, T, pout*Co)
+    where F-row ``j*pout + q`` lives at block j, channel slot q; rows
+    >= ``valid_rows`` are exact zeros.  ``mean |a-b|`` style reductions
+    over it equal the native ones up to the static ``valid_frac()``."""
+    data: jax.Array
+    valid_rows: int = struct.field(pytree_node=False)
+    pout: int = struct.field(pytree_node=False)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def valid_frac(self) -> float:
+        nb = self.data.shape[1]
+        return self.valid_rows / float(nb * self.pout)
+
+    def unpack(self) -> jax.Array:
+        """Back to native (B, F, T, Co) layout (tests / inspection)."""
+        B, nb, T, pc = self.data.shape
+        co = pc // self.pout
+        y = self.data.reshape(B, nb, T, self.pout, co)
+        y = y.transpose(0, 1, 3, 2, 4).reshape(B, nb * self.pout, T, co)
+        return y[:, :self.valid_rows]
+
+
+def pack_rows(z: jax.Array, p: int) -> jax.Array:
+    """(B, F, T, C) -> (B, ceil(F/p), T, p*C), zero rows beyond F."""
+    B, F, T, C = z.shape
+    nb = -(-F // p)
+    zp = jnp.pad(z, ((0, 0), (0, nb * p - F), (0, 0), (0, 0)))
+    zp = zp.reshape(B, nb, p, T, C).transpose(0, 1, 3, 2, 4)
+    return zp.reshape(B, nb, T, p * C)
+
+
+def _packed_chain_layer(a: jax.Array, kernel: jax.Array,
+                        bias: Optional[jax.Array], p: int, F: int,
+                        sh: int, dw: int, ph: int, pw: int,
+                        lrelu_slope: Optional[float]):
+    """One spectral-disc layer entirely in packed layout.
+
+    ``a``: (B, nb, T, p*Ci) with F valid rows (rest exact zero);
+    ``kernel``: native (kh, kw, Ci, Co).  Equals the native conv with
+    strides (sh, 1), dilation (1, dw), padding ((ph, ph), (pw, pw)),
+    followed by bias, leaky-relu (if slope given) and zeroing of the
+    padding rows.  Returns (y, pout, Fo).
     """
-    kh, kw, ci, co = kernel.shape
+    B, nb, T, pci = a.shape
+    kh, kw, Ci, Co = kernel.shape
+    assert pci == p * Ci and p % sh == 0, (pci, p, Ci, sh)
     pout = p // sh
-    kbi = np.arange(2)[:, None, None]
+    Fo = (F + 2 * ph - kh) // sh + 1
+    nb_out = -(-Fo // pout)
+
+    # output row j*pout+q reads input rows (j+kb)*p + r with
+    # kernel tap dh = kb*p + r - q*sh + ph in [0, kh)
+    kb_lo = math.floor((0 + 0 * sh - ph - (p - 1)) / p)
+    kb_hi = math.floor(((kh - 1) + (pout - 1) * sh - ph) / p)
+    kb_lo = min(kb_lo, 0)  # conv padding cannot skip leading blocks
+    taps = kb_hi - kb_lo + 1
+    kbi = np.arange(kb_lo, kb_hi + 1)[:, None, None]
     r = np.arange(p)[None, :, None]
     q = np.arange(pout)[None, None, :]
-    dh = kbi * p + r - q * sh                       # (2, p, pout)
+    dh = kbi * p + r - q * sh + ph                  # (taps, p, pout)
     onehot = (dh[..., None] == np.arange(kh)).astype(kernel.dtype)
     wg = jnp.einsum("bpqk,kwio->bpqwio", jnp.asarray(onehot), kernel)
-    return wg.transpose(0, 3, 1, 4, 2, 5).reshape(2, kw, p * ci, pout * co)
+    wp = wg.transpose(0, 3, 1, 4, 2, 5).reshape(taps, kw, p * Ci,
+                                                pout * Co)
 
-
-def _f_packed_conv2d(x: jax.Array, kernel: jax.Array, sh: int, dw: int,
-                     ph: int, pw: int, p: int) -> jax.Array:
-    """(B, F, T, Ci) conv equal to the native (kh, kw) conv with strides
-    (sh, 1), dilation (1, dw), padding ((ph, ph), (pw, pw)) — but with p
-    frequency rows folded into channels so the MXU sees Ci*p / Co*pout
-    channel dims instead of lane-padded tiny ones.  Measured 1.28x on
-    the Encodec spectral-disc chain fwd+bwd at bench shapes (v5e).
-    """
-    B, F, T, Ci = x.shape
-    kh, kw, _, Co = kernel.shape
-    assert kh <= p + sh and p % sh == 0, (kh, p, sh)
-    pout = p // sh
-    fo = (F + 2 * ph - kh) // sh + 1
-    nb = -(-fo // pout)
-    fpad = (nb + 1) * p
-    xp = jnp.pad(x, ((0, 0), (ph, fpad - F - ph), (0, 0), (0, 0)))
-    xp = xp.reshape(B, nb + 1, p, T, Ci).transpose(0, 1, 3, 2, 4)
-    xp = xp.reshape(B, nb + 1, T, p * Ci)
-    wp = _pack_weight_f(kernel, p, sh)
+    pl = -kb_lo
+    pr = nb_out - 1 + kb_hi - (nb - 1)
+    assert pr >= 0, (pr, nb, nb_out, kb_hi)
     y = jax.lax.conv_general_dilated(
-        xp, wp, (1, 1), padding=[(0, 0), (pw, pw)],
+        a, wp, (1, 1), padding=[(pl, pr), (pw, pw)],
         rhs_dilation=(1, dw), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
-    y = y.reshape(B, nb, T, pout, Co).transpose(0, 1, 3, 2, 4)
-    return y.reshape(B, nb * pout, T, Co)[:, :fo]
+        preferred_element_type=a.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, pout)
+    if lrelu_slope is not None:
+        y = jnp.where(y >= 0, y, lrelu_slope * y)
+    if nb_out * pout != Fo:
+        rows = np.arange(nb_out * pout).reshape(nb_out, pout) < Fo
+        mask = np.repeat(rows, Co, axis=1)[None, :, None, :]
+        y = y * jnp.asarray(mask, dtype=y.dtype)
+    return y, pout, Fo
 
 
 def _avg_pool_1d(x: jax.Array, window: int = 2) -> jax.Array:
@@ -239,37 +293,61 @@ class EncodecConvNet(nn.Module):
     """2D conv stack over complex STFT (reference
     ``discriminator.py:54-74``).
 
-    ``packed=True`` (default) folds frequency rows into channels so the
-    32-channel convs present MXU-sized channel dims instead of
-    lane-padded ones; outputs and parameters are identical to the
-    native formulation (see ``_f_packed_conv2d``).
+    ``packed=True`` (default) runs the whole stack in packed-resident
+    layout (see ``_packed_chain_layer``): frequency rows folded into
+    channels once, each layer one conv + fused elementwise, no per-layer
+    layout round trips.  Parameters are identical to the native
+    formulation; features come back as ``PackedFeature`` where the
+    layout differs (``.unpack()`` recovers the native map; masked-mean
+    reductions are exact up to the static ``valid_frac``).
     """
     capacity: int = 32
     packed: bool = True
+
+    SPECS = (
+        # (kh, kw, stride_f, dil_t)
+        (9, 3, 1, 1),
+        (9, 3, 2, 1),
+        (9, 3, 2, 2),
+        (9, 3, 2, 4),
+        (3, 3, 1, 1),
+    )
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
         # x: (B, F, T, 2)
         feats = []
-        specs = [
-            dict(kernel_size=(9, 3), strides=(1, 1)),
-            dict(kernel_size=(9, 3), strides=(2, 1), dilation=(1, 1)),
-            dict(kernel_size=(9, 3), strides=(2, 1), dilation=(1, 2)),
-            dict(kernel_size=(9, 3), strides=(2, 1), dilation=(1, 4)),
-            dict(kernel_size=(3, 3), strides=(1, 1)),
-        ]
-        for i, s in enumerate(specs):
-            kh, kw = s["kernel_size"]
-            dh, dw = s.get("dilation", (1, 1))
-            sh = s["strides"][0]
-            ph, pw = (kh - 1) * dh // 2, (kw - 1) * dw // 2
-            f_pack = 0
-            if self.packed:
-                # minimal p with kh <= p + sh and p % sh == 0
-                f_pack = max(4, sh * (-(-(kh - sh) // sh)))
+        if self.packed:
+            p, F = 8, x.shape[1]
+            a = pack_rows(x, p)
+            ci = x.shape[-1]
+            for i, (kh, kw, sh, dw) in enumerate(self.SPECS):
+                ph, pw = (kh - 1) // 2, (kw - 1) * dw // 2
+                # dummy carries the NATIVE in-channel count so parameter
+                # shapes/names match the unpacked formulation exactly
+                dummy = jnp.zeros((1, 1, 1, ci), x.dtype)
+                w, b = WNConv(features=self.capacity, kernel_size=(kh, kw),
+                              strides=(sh, 1), dilation=(1, dw),
+                              padding=[(ph, ph), (pw, pw)],
+                              mode="kernel")(dummy)
+                a, p, F = _packed_chain_layer(a, w, b, p, F, sh, dw,
+                                              ph, pw, lrelu_slope=0.2)
+                feats.append(a if p == 1
+                             else PackedFeature(a, valid_rows=F, pout=p))
+                ci = self.capacity
+            dummy = jnp.zeros((1, 1, 1, ci), x.dtype)
+            w, b = WNConv(features=1, kernel_size=(3, 3),
+                          padding=[(1, 1), (1, 1)], mode="kernel")(dummy)
+            a, p, F = _packed_chain_layer(a, w, b, p, F, 1, 1, 1, 1,
+                                          lrelu_slope=None)
+            assert p == 1
+            feats.append(a)
+            return feats
+        for i, (kh, kw, sh, dw) in enumerate(self.SPECS):
+            ph, pw = (kh - 1) // 2, (kw - 1) * dw // 2
             x = WNConv(features=self.capacity, kernel_size=(kh, kw),
-                       strides=s["strides"], dilation=(dh, dw),
-                       padding=[(ph, ph), (pw, pw)], f_pack=f_pack)(x)
+                       strides=(sh, 1), dilation=(1, dw),
+                       padding=[(ph, ph), (pw, pw)])(x)
             x = nn.leaky_relu(x, 0.2)
             feats.append(x)
         x = WNConv(features=1, kernel_size=(3, 3),

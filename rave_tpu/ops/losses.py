@@ -27,18 +27,27 @@ def mean_difference(target: jax.Array, value: jax.Array, norm: str = "L1",
 
     Elementwise math stays in the input dtype (bf16 reads half the HBM
     bytes of f32 -- these reductions stream every discriminator feature
-    map); accumulation is forced to f32 via ``jnp.mean(dtype=...)``."""
+    map); accumulation is forced to f32 via ``jnp.mean(dtype=...)``.
+
+    Accepts ``PackedFeature``-like inputs (``.data`` + ``.valid_frac()``,
+    models/discriminators.py): padding rows are exact zeros on both
+    sides, so the mean only needs a static denominator correction (which
+    cancels in ``relative`` mode)."""
+    corr = 1.0
+    if hasattr(target, "valid_frac"):
+        corr = 1.0 / target.valid_frac()
+        target, value = target.data, value.data
     diff = target - value
     if norm == "L1":
         d = jnp.mean(jnp.abs(diff), dtype=jnp.float32)
         if relative:
             return d / jnp.mean(jnp.abs(target), dtype=jnp.float32)
-        return d
+        return d * corr
     if norm == "L2":
         d = jnp.mean(diff * diff, dtype=jnp.float32)
         if relative:
             return d / jnp.mean(target * target, dtype=jnp.float32)
-        return d
+        return d * corr
     raise ValueError(f"norm must be L1 or L2, got {norm}")
 
 

@@ -22,6 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the env pin above is NOT enough: the axon sitecustomize's register()
+# already ran at interpreter start and set jax_platforms="axon,cpu" via
+# jax.config, which overrides the env var -- without this line the whole
+# suite silently runs against the tunnelled TPU (slow, and it collides
+# with any concurrent bench/train process on the single chip)
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache, keyed per platform (a shared dir mixes
 # remote-TPU and host-CPU AOT results -> machine-feature mismatch noise)

@@ -1,9 +1,10 @@
 """Discriminator-specific tests.
 
-The F-packed Encodec spectral-disc formulation (models/discriminators.py
-``_f_packed_conv2d``) must be numerically identical to the native 2D conv
-with the SAME parameters — packing is a trace-time weight regrouping, not
-a different model (reference ``rave/discriminator.py:54-74`` defines the
+The packed-resident Encodec spectral-disc chain
+(models/discriminators.py ``_packed_chain_layer``) must be numerically
+identical to the native 2D conv stack with the SAME parameters — packing
+is a trace-time weight regrouping plus a static zero mask, not a
+different model (reference ``rave/discriminator.py:54-74`` defines the
 native semantics).
 """
 import jax
@@ -14,56 +15,73 @@ import pytest
 from rave_tpu.models.discriminators import (
     EncodecConvNet,
     MultiScaleSpectralDiscriminator,
-    _f_packed_conv2d,
+    PackedFeature,
+    _packed_chain_layer,
+    pack_rows,
 )
+from rave_tpu.ops.losses import mean_difference
+
+
+def _native_layer(x, w, b, sh, dw, ph, pw, slope):
+    y = jax.lax.conv_general_dilated(
+        x, w, (sh, 1), padding=[(ph, ph), (pw, pw)],
+        rhs_dilation=(1, dw), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + b
+    if slope is not None:
+        y = jnp.where(y >= 0, y, slope * y)
+    return y
 
 
 @pytest.mark.parametrize("kh,kw,sh,dw,p", [
     (9, 3, 1, 1, 8),
     (9, 3, 2, 1, 8),
-    (9, 3, 2, 2, 8),
-    (9, 3, 2, 4, 8),
+    (9, 3, 2, 2, 4),
+    (9, 3, 2, 4, 2),
+    (3, 3, 1, 1, 1),
     (3, 3, 1, 1, 4),
-    (3, 3, 1, 1, 8),   # non-minimal packing factor
-    (5, 3, 2, 1, 4),
 ])
-def test_f_packed_conv2d_matches_native(kh, kw, sh, dw, p):
+def test_packed_chain_layer_matches_native(kh, kw, sh, dw, p):
     key = jax.random.PRNGKey(0)
     B, F, T, Ci, Co = 2, 37, 23, 3, 5
     x = jax.random.normal(key, (B, F, T, Ci))
     w = jax.random.normal(jax.random.PRNGKey(1), (kh, kw, Ci, Co)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(2), (Co,)) * 0.1
     ph, pw = (kh - 1) // 2, (kw - 1) * dw // 2
-    ref = jax.lax.conv_general_dilated(
-        x, w, (sh, 1), padding=[(ph, ph), (pw, pw)],
-        rhs_dilation=(1, dw), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    got = _f_packed_conv2d(x, w, sh, dw, ph, pw, p)
-    assert got.shape == ref.shape
+    ref = _native_layer(x, w, b, sh, dw, ph, pw, 0.2)
+    a = pack_rows(x, p)
+    y, pout, Fo = _packed_chain_layer(a, w, b, p, F, sh, dw, ph, pw, 0.2)
+    assert Fo == ref.shape[1]
+    got = PackedFeature(y, valid_rows=Fo, pout=pout).unpack()
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
 
-def test_f_packed_conv2d_gradients_match():
+def test_packed_chain_layer_gradients_match():
     key = jax.random.PRNGKey(2)
     B, F, T, Ci, Co = 1, 19, 11, 2, 4
     kh, kw, sh, dw, p = 9, 3, 2, 2, 8
     ph, pw = (kh - 1) // 2, (kw - 1) * dw // 2
     x = jax.random.normal(key, (B, F, T, Ci))
     w = jax.random.normal(jax.random.PRNGKey(3), (kh, kw, Ci, Co)) * 0.3
+    b = jnp.zeros((Co,))
 
     def loss_native(w):
-        y = jax.lax.conv_general_dilated(
-            x, w, (sh, 1), padding=[(ph, ph), (pw, pw)],
-            rhs_dilation=(1, dw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return jnp.sum(jnp.sin(y))
+        return jnp.sum(jnp.sin(_native_layer(x, w, b, sh, dw, ph, pw, 0.2)))
 
     def loss_packed(w):
-        return jnp.sum(jnp.sin(_f_packed_conv2d(x, w, sh, dw, ph, pw, p)))
+        a = pack_rows(x, p)
+        y, pout, Fo = _packed_chain_layer(a, w, b, p, F, sh, dw,
+                                          ph, pw, 0.2)
+        return jnp.sum(jnp.sin(PackedFeature(y, Fo, pout).unpack()))
 
     ga = jax.grad(loss_native)(w)
     gb = jax.grad(loss_packed)(w)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
                                rtol=1e-5, atol=1e-5)
+
+
+def _unpack(f):
+    return f.unpack() if isinstance(f, PackedFeature) else f
 
 
 def test_encodec_convnet_packed_parity():
@@ -72,10 +90,13 @@ def test_encodec_convnet_packed_parity():
     net_p = EncodecConvNet(capacity=8, packed=True)
     net_n = EncodecConvNet(capacity=8, packed=False)
     params = net_p.init(jax.random.PRNGKey(5), x)
+    params_n = net_n.init(jax.random.PRNGKey(5), x)
+    assert (jax.tree.structure(params) == jax.tree.structure(params_n))
     feats_p = net_p.apply(params, x)
     feats_n = net_n.apply(params, x)
     assert len(feats_p) == len(feats_n) == 6
     for a, b in zip(feats_p, feats_n):
+        a = _unpack(a)
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
@@ -92,5 +113,35 @@ def test_multiscale_spectral_packed_parity():
     out_n = d_n.apply(params, x)
     for fl_p, fl_n in zip(out_p, out_n):
         for a, b in zip(fl_p, fl_n):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+            np.testing.assert_allclose(np.asarray(_unpack(a)),
+                                       np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("norm,relative", [
+    ("L1", False), ("L2", False), ("L1", True), ("L2", True),
+])
+def test_mean_difference_on_packed_features(norm, relative):
+    """mean_difference over a PackedFeature equals the native value:
+    zero padding rows cancel; only the denominator needs the static
+    correction (which cancels in relative mode)."""
+    kh, kw, sh, dw, p = 9, 3, 2, 1, 8
+    B, F, T, Ci, Co = 2, 29, 13, 2, 3
+    ph, pw = (kh - 1) // 2, (kw - 1) * dw // 2
+    xa = jax.random.normal(jax.random.PRNGKey(8), (B, F, T, Ci))
+    xb = xa + 0.1 * jax.random.normal(jax.random.PRNGKey(9), xa.shape)
+    w = jax.random.normal(jax.random.PRNGKey(10), (kh, kw, Ci, Co)) * 0.3
+    b = jnp.ones((Co,)) * 0.05
+
+    def both(x):
+        nat = _native_layer(x, w, b, sh, dw, ph, pw, 0.2)
+        y, pout, Fo = _packed_chain_layer(pack_rows(x, p), w, b, p, F,
+                                          sh, dw, ph, pw, 0.2)
+        return nat, PackedFeature(y, Fo, pout)
+
+    na, pa = both(xa)
+    nb_, pb = both(xb)
+    want = mean_difference(na, nb_, norm, relative)
+    got = mean_difference(pa, pb, norm, relative)
+    np.testing.assert_allclose(float(got), float(want),
+                               rtol=1e-5, atol=1e-6)
