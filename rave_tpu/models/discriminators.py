@@ -122,12 +122,14 @@ class WNConv(nn.Module):
 
 class PackedFeature(struct.PyTreeNode):
     """A feature map in packed layout: ``data`` is (B, nb, T, pout*Co)
-    where F-row ``j*pout + q`` lives at block j, channel slot q; rows
-    >= ``valid_rows`` are exact zeros.  ``mean |a-b|`` style reductions
-    over it equal the native ones up to the static ``valid_frac()``."""
+    where channel slot q of block j holds F-row ``j*pout + q - offset``;
+    slots outside [offset, offset + valid_rows) are exact zeros.
+    ``mean |a-b|`` style reductions over it equal the native ones up to
+    the static ``valid_frac()``."""
     data: jax.Array
     valid_rows: int = struct.field(pytree_node=False)
     pout: int = struct.field(pytree_node=False)
+    offset: int = struct.field(pytree_node=False, default=0)
 
     @property
     def shape(self):
@@ -143,7 +145,7 @@ class PackedFeature(struct.PyTreeNode):
         co = pc // self.pout
         y = self.data.reshape(B, nb, T, self.pout, co)
         y = y.transpose(0, 1, 3, 2, 4).reshape(B, nb * self.pout, T, co)
-        return y[:, :self.valid_rows]
+        return y[:, self.offset:self.offset + self.valid_rows]
 
 
 def pack_rows(z: jax.Array, p: int) -> jax.Array:
@@ -155,35 +157,53 @@ def pack_rows(z: jax.Array, p: int) -> jax.Array:
     return zp.reshape(B, nb, T, p * C)
 
 
+def _chain_taps(p, pout, sh, kh, ph, o_in):
+    """Pick the output front-offset o_out in [0, p) that minimises the
+    block-tap count, then the tap (kb) range.  Tap index for output
+    slot-in-block q reading input block j+kb slot r is
+    ``dh = kb*p + r - q*sh + c`` with ``c = ph + o_out*sh - o_in``; the
+    offset only moves the alignment of dh mod p, so a good o_out saves
+    a whole tap (33% of the conv FLOPs at the hot layers)."""
+    best = None
+    for o_out in range(p):
+        c = ph + o_out * sh - o_in
+        kbs = [kb for kb in range(-6, 10)
+               if np.any((kb * p + np.arange(p)[:, None]
+                          - np.arange(pout)[None, :] * sh + c >= 0)
+                         & (kb * p + np.arange(p)[:, None]
+                            - np.arange(pout)[None, :] * sh + c < kh))]
+        kb_lo, kb_hi = min(min(kbs), 0), max(kbs)
+        taps = kb_hi - kb_lo + 1
+        if best is None or (taps, o_out) < (best[0], best[1]):
+            best = (taps, o_out, kb_lo, kb_hi, c)
+    return best[1], best[2], best[3], best[4]
+
+
 def _packed_chain_layer(a: jax.Array, kernel: jax.Array,
                         bias: Optional[jax.Array], p: int, F: int,
-                        sh: int, dw: int, ph: int, pw: int,
+                        o_in: int, sh: int, dw: int, ph: int, pw: int,
                         lrelu_slope: Optional[float]):
     """One spectral-disc layer entirely in packed layout.
 
-    ``a``: (B, nb, T, p*Ci) with F valid rows (rest exact zero);
-    ``kernel``: native (kh, kw, Ci, Co).  Equals the native conv with
-    strides (sh, 1), dilation (1, dw), padding ((ph, ph), (pw, pw)),
-    followed by bias, leaky-relu (if slope given) and zeroing of the
-    padding rows.  Returns (y, pout, Fo).
+    ``a``: (B, nb, T, p*Ci) with valid rows at slots [o_in, o_in+F)
+    (rest exact zero); ``kernel``: native (kh, kw, Ci, Co).  Equals the
+    native conv with strides (sh, 1), dilation (1, dw), padding
+    ((ph, ph), (pw, pw)), followed by bias, leaky-relu (if slope given)
+    and zeroing of the out-of-range slots.  Returns (y, pout, Fo, o_out).
     """
     B, nb, T, pci = a.shape
     kh, kw, Ci, Co = kernel.shape
     assert pci == p * Ci and p % sh == 0, (pci, p, Ci, sh)
     pout = p // sh
     Fo = (F + 2 * ph - kh) // sh + 1
-    nb_out = -(-Fo // pout)
-
-    # output row j*pout+q reads input rows (j+kb)*p + r with
-    # kernel tap dh = kb*p + r - q*sh + ph in [0, kh)
-    kb_lo = math.floor((0 + 0 * sh - ph - (p - 1)) / p)
-    kb_hi = math.floor(((kh - 1) + (pout - 1) * sh - ph) / p)
-    kb_lo = min(kb_lo, 0)  # conv padding cannot skip leading blocks
+    o_out, kb_lo, kb_hi, c = _chain_taps(p, pout, sh, kh, ph, o_in)
+    nb_out = -(-(Fo + o_out) // pout)
     taps = kb_hi - kb_lo + 1
+
     kbi = np.arange(kb_lo, kb_hi + 1)[:, None, None]
     r = np.arange(p)[None, :, None]
     q = np.arange(pout)[None, None, :]
-    dh = kbi * p + r - q * sh + ph                  # (taps, p, pout)
+    dh = kbi * p + r - q * sh + c                   # (taps, p, pout)
     onehot = (dh[..., None] == np.arange(kh)).astype(kernel.dtype)
     wg = jnp.einsum("bpqk,kwio->bpqwio", jnp.asarray(onehot), kernel)
     wp = wg.transpose(0, 3, 1, 4, 2, 5).reshape(taps, kw, p * Ci,
@@ -200,11 +220,12 @@ def _packed_chain_layer(a: jax.Array, kernel: jax.Array,
         y = y + jnp.tile(bias, pout)
     if lrelu_slope is not None:
         y = jnp.where(y >= 0, y, lrelu_slope * y)
-    if nb_out * pout != Fo:
-        rows = np.arange(nb_out * pout).reshape(nb_out, pout) < Fo
+    if o_out > 0 or nb_out * pout != Fo + o_out:
+        s = np.arange(nb_out * pout).reshape(nb_out, pout)
+        rows = (s >= o_out) & (s < o_out + Fo)
         mask = np.repeat(rows, Co, axis=1)[None, :, None, :]
         y = y * jnp.asarray(mask, dtype=y.dtype)
-    return y, pout, Fo
+    return y, pout, Fo, o_out
 
 
 def _avg_pool_1d(x: jax.Array, window: int = 2) -> jax.Array:
@@ -318,7 +339,7 @@ class EncodecConvNet(nn.Module):
         # x: (B, F, T, 2)
         feats = []
         if self.packed:
-            p, F = 8, x.shape[1]
+            p, F, o = 8, x.shape[1], 0
             a = pack_rows(x, p)
             ci = x.shape[-1]
             for i, (kh, kw, sh, dw) in enumerate(self.SPECS):
@@ -330,17 +351,18 @@ class EncodecConvNet(nn.Module):
                               strides=(sh, 1), dilation=(1, dw),
                               padding=[(ph, ph), (pw, pw)],
                               mode="kernel")(dummy)
-                a, p, F = _packed_chain_layer(a, w, b, p, F, sh, dw,
-                                              ph, pw, lrelu_slope=0.2)
-                feats.append(a if p == 1
-                             else PackedFeature(a, valid_rows=F, pout=p))
+                a, p, F, o = _packed_chain_layer(a, w, b, p, F, o, sh, dw,
+                                                 ph, pw, lrelu_slope=0.2)
+                feats.append(a if p == 1 and o == 0
+                             else PackedFeature(a, valid_rows=F, pout=p,
+                                                offset=o))
                 ci = self.capacity
             dummy = jnp.zeros((1, 1, 1, ci), x.dtype)
             w, b = WNConv(features=1, kernel_size=(3, 3),
                           padding=[(1, 1), (1, 1)], mode="kernel")(dummy)
-            a, p, F = _packed_chain_layer(a, w, b, p, F, 1, 1, 1, 1,
-                                          lrelu_slope=None)
-            assert p == 1
+            a, p, F, o = _packed_chain_layer(a, w, b, p, F, o, 1, 1, 1, 1,
+                                             lrelu_slope=None)
+            assert p == 1 and o == 0
             feats.append(a)
             return feats
         for i, (kh, kw, sh, dw) in enumerate(self.SPECS):

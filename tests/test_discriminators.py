@@ -49,9 +49,9 @@ def test_packed_chain_layer_matches_native(kh, kw, sh, dw, p):
     ph, pw = (kh - 1) // 2, (kw - 1) * dw // 2
     ref = _native_layer(x, w, b, sh, dw, ph, pw, 0.2)
     a = pack_rows(x, p)
-    y, pout, Fo = _packed_chain_layer(a, w, b, p, F, sh, dw, ph, pw, 0.2)
+    y, pout, Fo, o = _packed_chain_layer(a, w, b, p, F, 0, sh, dw, ph, pw, 0.2)
     assert Fo == ref.shape[1]
-    got = PackedFeature(y, valid_rows=Fo, pout=pout).unpack()
+    got = PackedFeature(y, valid_rows=Fo, pout=pout, offset=o).unpack()
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
@@ -70,9 +70,9 @@ def test_packed_chain_layer_gradients_match():
 
     def loss_packed(w):
         a = pack_rows(x, p)
-        y, pout, Fo = _packed_chain_layer(a, w, b, p, F, sh, dw,
-                                          ph, pw, 0.2)
-        return jnp.sum(jnp.sin(PackedFeature(y, Fo, pout).unpack()))
+        y, pout, Fo, o = _packed_chain_layer(a, w, b, p, F, 0, sh, dw,
+                                             ph, pw, 0.2)
+        return jnp.sum(jnp.sin(PackedFeature(y, Fo, pout, o).unpack()))
 
     ga = jax.grad(loss_native)(w)
     gb = jax.grad(loss_packed)(w)
@@ -135,9 +135,9 @@ def test_mean_difference_on_packed_features(norm, relative):
 
     def both(x):
         nat = _native_layer(x, w, b, sh, dw, ph, pw, 0.2)
-        y, pout, Fo = _packed_chain_layer(pack_rows(x, p), w, b, p, F,
-                                          sh, dw, ph, pw, 0.2)
-        return nat, PackedFeature(y, Fo, pout)
+        y, pout, Fo, o = _packed_chain_layer(pack_rows(x, p), w, b, p,
+                                             F, 0, sh, dw, ph, pw, 0.2)
+        return nat, PackedFeature(y, Fo, pout, o)
 
     na, pa = both(xa)
     nb_, pb = both(xb)
