@@ -142,8 +142,10 @@ def bench_stream_decode(n_chunks: int = 50, chunk: int = 4096):
         diffs.append(t2 - t1)
     pos = [d for d in diffs if d > 0]
     rtf = (min(pos) if pos else t2 / 2) / audio_seconds
-    log(f"decode RTF {rtf:.5f} ({chunk}-sample chunks, "
-        f"best-of-{len(diffs)} differential)")
+    how = (f"best-of-{len(diffs)} differential" if pos
+           else "absolute window FALLBACK (all differentials <= 0; "
+                "includes constant drain/fetch offsets)")
+    log(f"decode RTF {rtf:.5f} ({chunk}-sample chunks, {how})")
 
     # offline throughput mode: the whole chunk loop as one lax.scan
     # program -- one dispatch per clip, not per chunk

@@ -32,6 +32,9 @@ class DiscriminatorConfig:
     n_layers: int = 4
     periods: tuple = (2, 3, 5, 7, 11)
     fft_sizes: tuple = (2048, 1024, 512)
+    # Encodec spectral-disc STFT scales ("spectral" member); every scale
+    # must be <= the (cropped) training signal length
+    spectral_scales: tuple = (4096, 2048, 1024, 512, 256)
 
 
 @dataclass

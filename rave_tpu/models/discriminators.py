@@ -165,13 +165,18 @@ def _chain_taps(p, pout, sh, kh, ph, o_in):
     offset only moves the alignment of dh mod p, so a good o_out saves
     a whole tap (33% of the conv FLOPs at the hot layers)."""
     best = None
+    span = kh + ph + p * sh + o_in + 4   # generous search window
+    lo, hi = -span, span
     for o_out in range(p):
         c = ph + o_out * sh - o_in
-        kbs = [kb for kb in range(-6, 10)
+        kbs = [kb for kb in range(lo, hi + 1)
                if np.any((kb * p + np.arange(p)[:, None]
                           - np.arange(pout)[None, :] * sh + c >= 0)
                          & (kb * p + np.arange(p)[:, None]
                             - np.arange(pout)[None, :] * sh + c < kh))]
+        # a tap at the search boundary would mean the window clipped the
+        # true range and taps were silently dropped
+        assert lo < min(kbs) and max(kbs) < hi, (kbs, lo, hi)
         kb_lo, kb_hi = min(min(kbs), 0), max(kbs)
         taps = kb_hi - kb_lo + 1
         if best is None or (taps, o_out) < (best[0], best[1]):
@@ -219,7 +224,7 @@ def _packed_chain_layer(a: jax.Array, kernel: jax.Array,
     if bias is not None:
         y = y + jnp.tile(bias, pout)
     if lrelu_slope is not None:
-        y = jnp.where(y >= 0, y, lrelu_slope * y)
+        y = nn.leaky_relu(y, lrelu_slope)
     if o_out > 0 or nb_out * pout != Fo + o_out:
         s = np.arange(nb_out * pout).reshape(nb_out, pout)
         rows = (s >= o_out) & (s < o_out + Fo)
@@ -391,6 +396,14 @@ class MultiScaleSpectralDiscriminator(nn.Module):
         sig = x[..., 0]
         out = []
         for i, scale in enumerate(self.scales):
+            if sig.shape[1] < scale:
+                # center=False (reference discriminator.py:12-20): a
+                # signal shorter than the window yields ZERO frames and
+                # the empty-mean would silently train on NaN
+                raise ValueError(
+                    f"spectral discriminator scale {scale} needs at "
+                    f"least {scale} samples, got {sig.shape[1]} (reduce "
+                    f"discriminator.spectral_scales or raise n_signal)")
             s = stft(sig, scale, scale // 4, center=False, normalized=True)
             # (B, frames, bins) complex -> (B, bins, frames, 2).
             # The FFT itself runs f32 (ops/stft.py); cast back so the
@@ -703,6 +716,7 @@ class CombineDiscriminators(nn.Module):
     (``configs/v2.gin:86-91``)."""
     members: Sequence[str] = ("periods", "scales", "spectral")
     capacity: int = 64
+    spectral_scales: Sequence[int] = (4096, 2048, 1024, 512, 256)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
@@ -714,7 +728,9 @@ class CombineDiscriminators(nn.Module):
                 out.extend(MultiScaleDiscriminator(capacity=self.capacity,
                                                    name="msd")(x))
             elif m == "spectral":
-                out.extend(MultiScaleSpectralDiscriminator(name="msspec")(x))
+                out.extend(MultiScaleSpectralDiscriminator(
+                    scales=tuple(self.spectral_scales),
+                    name="msspec")(x))
             elif m == "univnet":
                 out.extend(UnivNetDiscriminator(name="univnet")(x))
             elif m == "melgan_stack":

@@ -50,7 +50,10 @@ class CrossEntropyProjection(nn.Module):
         # reference uses default mode='nearest'.  target_frames follows
         # the unit provider's actual frame count (the reference hard-codes
         # its 131072 @ 44.1 kHz value); the default keeps parity.
-        tf = target_frames or self.target_frames
+        tf = self.target_frames if target_frames is None else target_frames
+        if tf <= 0:
+            raise ValueError(f"target_frames must be positive, got {tf} "
+                             "(unit provider yielded an empty frame axis?)")
         B, T, U = logits.shape
         idx = jnp.clip((jnp.arange(tf) * T) // tf, 0, T - 1)
         return logits[:, idx, :]  # (B, tf, units)

@@ -58,7 +58,8 @@ def build_discriminator(cfg: RAVEConfig):
     d = cfg.discriminator
     if d.kind == "combine":
         return CombineDiscriminators(members=tuple(d.members),
-                                     capacity=d.capacity)
+                                     capacity=d.capacity,
+                                     spectral_scales=tuple(d.spectral_scales))
     if d.kind == "descript":
         return DescriptDiscriminator(periods=tuple(d.periods),
                                      fft_sizes=tuple(d.fft_sizes))

@@ -111,6 +111,13 @@ def _load_ref_module(name: str, filename: str):
         scipy.signal.firwin = real_firwin
         if not had_kaiser:
             del scipy.signal.kaiser
+        # the loaded module holds direct references to the stubs; remove
+        # them from sys.modules so later tests that really import these
+        # packages don't silently get the fakes
+        for s in stubs:
+            sys.modules.pop(s, None)
+        if "torchaudio" in stubs:
+            sys.modules.pop("torchaudio.transforms", None)
 
 
 @pytest.fixture(scope="module")
@@ -149,9 +156,14 @@ def test_pqmf_prototype_bitmatch(ref_pqmf):
 
 def test_pqmf_qmf_bank_bitmatch(ref_pqmf):
     from rave_tpu.ops import pqmf as ours
-    h = ours.get_prototype(100.0, 16)
-    ref_bank = ref_pqmf.get_qmf_bank(torch.from_numpy(h).float(), 16)
+    h = ours.get_prototype(100.0, 16).copy()  # lru-cached: don't share
+    ref_bank = ref_pqmf.get_qmf_bank(torch.from_numpy(h), 16)  # f64
     our_bank = ours.get_qmf_bank(h, 16)
+    # tolerance note: the modulation phases reach ~1e4 rad, where
+    # torch's cos (SLEEF/MKL, SIMD path depends on threading) and
+    # numpy's cos differ by up to ~2e-7 absolute from argument
+    # reduction -- a libm property, not a formula difference (the
+    # prototype itself bit-matches above)
     np.testing.assert_allclose(our_bank, ref_bank.numpy(),
                                rtol=0, atol=1e-6)
 

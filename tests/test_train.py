@@ -139,3 +139,38 @@ def test_project_2d_and_status_logger(tmp_path):
     import json as _json
     rec = _json.loads((tmp_path / "status.json").read_text())
     assert rec["step"] == 100 and rec["steps_per_s"] == 1.5
+
+
+def test_combine_disc_train_step_packed_spectral():
+    """The production v2 discriminator (combine: periods+scales+spectral)
+    through the real jitted train step: PackedFeature objects must flow
+    through value_and_grad, the lax.cond branches, and the FM/GAN losses
+    with finite results on BOTH the G and D branches."""
+    cfg = build_config(["v2"], TINY + ["phase_1_duration=0"])
+    cfg.discriminator.kind = "combine"
+    cfg.discriminator.capacity = 4
+    cfg.discriminator.spectral_scales = (512, 256)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    batch = make_batch(cfg)
+    saw_dis = saw_gen = False
+    for i in range(3):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        m = jax.tree.map(float, m)
+        for k, v in m.items():
+            assert np.isfinite(v), f"step {i}: {k} not finite: {v}"
+        if m["loss_dis"] != 0.0:
+            saw_dis = True
+        if m["loss_feature_matching"] != 0.0:
+            saw_gen = True
+    assert saw_dis and saw_gen
+
+
+def test_spectral_disc_rejects_too_short_signal():
+    """A spectral scale longer than the signal must fail loudly at trace
+    time instead of producing empty STFT frames and silent NaN losses."""
+    from rave_tpu.models.discriminators import MultiScaleSpectralDiscriminator
+    d = MultiScaleSpectralDiscriminator(scales=(4096,), capacity=4)
+    x = jnp.zeros((1, 2048, 1))
+    with pytest.raises(ValueError, match="spectral discriminator scale"):
+        d.init(jax.random.PRNGKey(0), x)
