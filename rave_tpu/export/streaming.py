@@ -81,7 +81,8 @@ class StreamingRAVE:
             y, upd = self.model.apply(
                 {"params": self.params, "cache": cache, **self.aux_state},
                 z, method=RAVE.decode, mutable=["cache"],
-                rngs={"noise": jax.random.PRNGKey(5)})
+                rngs={"noise": jax.random.PRNGKey(5),
+                      "latent": jax.random.PRNGKey(7)})
             return y, upd["cache"]
 
         # donate the cache: the ring buffers are updated in place instead
@@ -185,38 +186,16 @@ class StreamingRAVE:
         cfg = self.cfg
         from ..ops.conv import StreamSetup
         from ..ops.pqmf import _pqmf_kernels
-        from ..models.blocks import EncoderV2, GeneratorV2
+        from ..models.rave import band_frame_delay
         ss = StreamSetup(mode="causal" if cfg.causal else "centered",
                          streaming=True)
         if cfg.n_band > 1:
-            _, pq_a, _, pq_s = _pqmf_kernels(cfg.pqmf_attenuation,
-                                             cfg.n_band)
+            _, _, _, pq_s = _pqmf_kernels(cfg.pqmf_attenuation, cfg.n_band)
         else:
-            pq_a = pq_s = 0
-        enc_ratio = 1
-        for r in (cfg.encoder_ratios or cfg.ratios):
-            enc_ratio *= r
-        if cfg.encoder_version == "v2":
-            enc = EncoderV2(data_size=cfg.effective_encoder_data_size(),
-                            capacity=cfg.capacity,
-                            ratios=cfg.encoder_ratios or cfg.ratios,
-                            latent_size=cfg.latent_size, n_out=1,
-                            kernel_size=cfg.kernel_size,
-                            dilations=cfg.encoder_dilations or cfg.dilations,
-                            in_delay=pq_a, ss=ss)
-            enc_d_latent = enc.out_delay  # includes the pqmf input delay
-        else:
-            enc_d_latent = 0
-        if cfg.generator_version == "v2":
-            dec = GeneratorV2(data_size=cfg.n_band, capacity=cfg.capacity,
-                              ratios=cfg.ratios,
-                              latent_size=cfg.decoder_latent_size(),
-                              kernel_size=cfg.kernel_size,
-                              dilations=cfg.dilations, ss=ss)
-            dec_d = dec.out_delay  # band frames, for zero input delay
-        else:
-            dec_d = 0
-        total_band_frames = enc_d_latent * enc_ratio + dec_d + pq_s
+            pq_s = 0
+        # band_frame_delay uses the SAME builders as RAVE.setup, so mel /
+        # v1 / fork variants can't drift from the served graph
+        total_band_frames = band_frame_delay(cfg, ss) + pq_s
         return total_band_frames * cfg.n_band
 
     # -- stateful API (nn~-style) ----------------------------------------
@@ -359,10 +338,8 @@ class StreamingRAVE:
         if head == "spherical":
             from ..models.latent import angles_to_unit_norm_vector
             return np.asarray(angles_to_unit_norm_vector(jnp.asarray(z)))
-        if head == "wasserstein" and self.cfg.noise_augmentation:
-            noise = np.random.default_rng(0).standard_normal(
-                (*z.shape[:-1], self.cfg.noise_augmentation)).astype(z.dtype)
-            return np.concatenate([z, noise], axis=-1)
+        # (wasserstein/discrete noise-augmentation channels are re-sampled
+        # inside RAVE.decode itself when the latent arrives without them)
         return z
 
     # -- AOT serialisation -----------------------------------------------
@@ -389,7 +366,12 @@ class StreamingRAVE:
         (out / "decode.stablehlo").write_bytes(
             jexport.export(self._decode)(self.cache, z).serialize())
 
-        flat, treedef = jax.tree.flatten(self.cache)
+        # the serialized "initial" cache must be pristine zeros -- NOT the
+        # live self.cache, which may hold mid-stream ring-buffer state if
+        # the model was run before export
+        zero_cache = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype),
+                                  self.init_cache)
+        flat, treedef = jax.tree.flatten(zero_cache)
         np.savez(out / "cache_init.npz",
                  **{f"c{i}": np.asarray(v) for i, v in enumerate(flat)})
         meta = dict(chunk_size=self.chunk, batch=self.batch,
@@ -398,11 +380,12 @@ class StreamingRAVE:
                     latent_size=self.cfg.latent_size,
                     config=self.cfg.name)
         (out / "meta.json").write_text(json.dumps(meta, indent=2))
-        self._serialize_pjrt_host_artifacts(out, exp)
+        self._serialize_pjrt_host_artifacts(out, exp, zero_cache)
         return out
 
-    def _serialize_pjrt_host_artifacts(self, out: Path, exp) -> None:
-        write_pjrt_artifacts(out, exp, self.cache,
+    def _serialize_pjrt_host_artifacts(self, out: Path, exp,
+                                       zero_cache) -> None:
+        write_pjrt_artifacts(out, exp, zero_cache,
                              chunk=self.chunk,
                              sampling_rate=self.cfg.sampling_rate,
                              batch=self.batch)

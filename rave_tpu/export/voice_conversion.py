@@ -46,7 +46,10 @@ class VoiceConverter:
         variables = self.model.init(rngs, x)
         self.init_cache = jax.tree.map(jnp.zeros_like,
                                        variables.get("cache", {}))
-        self.cache = self.init_cache
+        # fresh copy: the live cache is DONATED to the step executables,
+        # so it must never alias init_cache (kept pristine for reset /
+        # serialisation)
+        self.cache = self._fresh_cache()
         aux = {k: v for k, v in variables.items()
                if k not in ("params", "cache")}
 
@@ -84,8 +87,10 @@ class VoiceConverter:
             return e, upd["cache"]
 
         self._fwd_fn = fwd
-        self._fwd = jax.jit(fwd)
-        self._spk = jax.jit(spk_embed)
+        # donate the cache like StreamingRAVE: ring buffers update in
+        # place instead of being copied every realtime block
+        self._fwd = jax.jit(fwd, donate_argnums=(0,))
+        self._spk = jax.jit(spk_embed, donate_argnums=(0,))
 
         # pitch conditioning (fork myforward: per-block f0 extraction +
         # utterance-stat normalisation, export.py:349-359).  f0 frames
@@ -135,6 +140,11 @@ class VoiceConverter:
 
     def set_speaker(self, idx: int):
         self.speaker = int(np.clip(idx, 0, len(self.speaker_table) - 1))
+        # an explicit speaker choice overrides any previously learned
+        # target (otherwise the learned mean would shadow the table row
+        # forever once _target_n > 0)
+        self._target_n = 0
+        self._target_acc[:] = 0
 
     def set_learn_target(self, on: bool):
         if on and not self.learn_target:
@@ -142,8 +152,12 @@ class VoiceConverter:
             self._target_n = 0
         self.learn_target = bool(on)
 
+    def _fresh_cache(self):
+        return jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype),
+                            self.init_cache)
+
     def reset(self):
-        self.cache = self.init_cache
+        self.cache = self._fresh_cache()
         if self._pitch:
             self._f0_tail[:] = 0
             self._logf0 = []
@@ -162,7 +176,7 @@ class VoiceConverter:
         pad = (-len(x)) % self.chunk
         xj = jnp.asarray(np.pad(x.astype(np.float32), (0, pad))
                          .reshape(1, -1, 1))
-        e, _ = self._spk(jax.tree.map(jnp.zeros_like, self.init_cache), xj)
+        e, _ = self._spk(self._fresh_cache(), xj)
         return np.asarray(e[0])
 
     @staticmethod

@@ -59,6 +59,87 @@ class CrossEntropyProjection(nn.Module):
         return logits[:, idx, :]  # (B, tf, units)
 
 
+def pqmf_in_delay(cfg: RAVEConfig) -> int:
+    """PQMF analysis delay threaded into the encoder (0 when the encoder
+    consumes mel frames instead of PQMF bands)."""
+    if cfg.n_band > 1 and not cfg.use_mel_encoder:
+        from ..ops.pqmf import _pqmf_kernels
+        _, pad_a, _, _ = _pqmf_kernels(cfg.pqmf_attenuation, cfg.n_band)
+        return pad_a
+    return 0
+
+
+def make_encoder(cfg: RAVEConfig, ss: StreamSetup, train_mode: bool = True):
+    """Single construction authority for the encoder -- used by
+    ``RAVE.setup`` AND by the export delay computation so the two can
+    never drift."""
+    # the voice-conversion fork feeds the raw (un-reparametrised) latent
+    # to the decoder and trains the encoder via CE only (reference
+    # model.py:349,358-360; v1.gin sets n_out=1), so the variational
+    # head's 2x channels only apply to the upstream path
+    n_out = (2 if (cfg.latent_head == "variational"
+                   and cfg.speaker_embedding_size == 0) else 1)
+    data_size = (cfg.mel_n_mels if cfg.use_mel_encoder
+                 else cfg.effective_encoder_data_size())
+    enc_ratios = cfg.encoder_ratios or cfg.ratios
+    enc_dilations = cfg.encoder_dilations or cfg.dilations
+    if cfg.encoder_version == "v2":
+        return EncoderV2(
+            data_size=data_size, capacity=cfg.capacity,
+            ratios=enc_ratios, latent_size=cfg.latent_size,
+            n_out=n_out, kernel_size=cfg.kernel_size,
+            dilations=enc_dilations, keep_dim=cfg.keep_dim,
+            activation=cfg.activation, weight_norm=cfg.weight_norm,
+            adain=cfg.adain, gru_layers=cfg.encoder_gru_layers,
+            in_delay=pqmf_in_delay(cfg), fused=cfg.fused_kernels,
+            train_mode=train_mode, ss=ss)
+    return EncoderV1(
+        data_size=data_size, capacity=cfg.capacity,
+        latent_size=cfg.latent_size, ratios=cfg.ratios,
+        n_out=n_out, sample_norm=cfg.v1_sample_norm,
+        repeat_layers=cfg.v1_repeat_layers,
+        train_mode=train_mode, ss=ss)
+
+
+def make_decoder(cfg: RAVEConfig, ss: StreamSetup, train_mode: bool = True):
+    """Single construction authority for the generator (see
+    ``make_encoder``)."""
+    dec_latent = cfg.decoder_latent_size()
+    if cfg.generator_version == "v2":
+        return GeneratorV2(
+            data_size=cfg.n_band, capacity=cfg.capacity,
+            ratios=cfg.ratios, latent_size=dec_latent,
+            kernel_size=cfg.kernel_size, dilations=cfg.dilations,
+            keep_dim=cfg.keep_dim,
+            amplitude_modulation=cfg.amplitude_modulation,
+            use_noise=cfg.use_noise, noise_ratios=cfg.noise_ratios,
+            noise_bands=cfg.noise_bands, activation=cfg.activation,
+            weight_norm=cfg.weight_norm, adain=cfg.adain,
+            gru_layers=cfg.decoder_gru_layers,
+            fused=cfg.fused_kernels,
+            train_mode=train_mode, ss=ss)
+    return GeneratorV1(
+        latent_size=dec_latent, capacity=cfg.capacity,
+        data_size=cfg.n_band, ratios=cfg.ratios,
+        loud_stride=cfg.v1_loud_stride, use_noise=cfg.v1_use_noise,
+        kernel_sizes=cfg.v1_kernel_sizes,
+        dilations_list=cfg.v1_dilations_list,
+        activation=cfg.activation, weight_norm=cfg.weight_norm,
+        ss=ss)
+
+
+def band_frame_delay(cfg: RAVEConfig, ss: StreamSetup) -> int:
+    """Composite encoder+decoder streaming delay at the band rate:
+    encoder latent-frame delay scaled through the decoder's upsamplers
+    plus the decoder's own band-frame delay."""
+    enc = make_encoder(cfg, ss, train_mode=False)
+    dec = make_decoder(cfg, ss, train_mode=False)
+    enc_ratio_total = 1
+    for r in (cfg.encoder_ratios or cfg.ratios):
+        enc_ratio_total *= r
+    return enc.out_delay * enc_ratio_total + dec.out_delay
+
+
 class RAVE(nn.Module):
     cfg: RAVEConfig
     streaming: bool = False
@@ -75,45 +156,7 @@ class RAVE(nn.Module):
         cfg = self.cfg
         ss = self.ss
 
-        # the voice-conversion fork feeds the raw (un-reparametrised)
-        # latent to the decoder and trains the encoder via CE only
-        # (reference model.py:349,358-360; v1.gin sets n_out=1), so the
-        # variational head's 2x channels only apply to the upstream path
-        n_out = (2 if (cfg.latent_head == "variational"
-                       and cfg.speaker_embedding_size == 0) else 1)
-        if cfg.use_mel_encoder:
-            data_size = cfg.mel_n_mels
-        else:
-            data_size = cfg.effective_encoder_data_size()
-        enc_ratios = cfg.encoder_ratios or cfg.ratios
-        enc_dilations = cfg.encoder_dilations or cfg.dilations
-
-        # thread the PQMF analysis delay into the encoder so its strided
-        # convs align the composite streaming delay exactly
-        if cfg.n_band > 1 and not cfg.use_mel_encoder:
-            from ..ops.pqmf import _pqmf_kernels
-            _, enc_in_delay, _, _ = _pqmf_kernels(cfg.pqmf_attenuation,
-                                                  cfg.n_band)
-        else:
-            enc_in_delay = 0
-
-        if cfg.encoder_version == "v2":
-            self.encoder = EncoderV2(
-                data_size=data_size, capacity=cfg.capacity,
-                ratios=enc_ratios, latent_size=cfg.latent_size,
-                n_out=n_out, kernel_size=cfg.kernel_size,
-                dilations=enc_dilations, keep_dim=cfg.keep_dim,
-                activation=cfg.activation, weight_norm=cfg.weight_norm,
-                adain=cfg.adain, gru_layers=cfg.encoder_gru_layers,
-                in_delay=enc_in_delay, fused=cfg.fused_kernels,
-                train_mode=self.train_mode, ss=ss)
-        else:
-            self.encoder = EncoderV1(
-                data_size=data_size, capacity=cfg.capacity,
-                latent_size=cfg.latent_size, ratios=cfg.ratios,
-                n_out=n_out, sample_norm=cfg.v1_sample_norm,
-                repeat_layers=cfg.v1_repeat_layers,
-                train_mode=self.train_mode, ss=ss)
+        self.encoder = make_encoder(cfg, ss, self.train_mode)
 
         head = cfg.latent_head
         if head == "variational":
@@ -132,43 +175,19 @@ class RAVE(nn.Module):
         else:
             raise ValueError(f"unknown latent head {head!r}")
 
-        dec_latent = cfg.decoder_latent_size()
-        if cfg.generator_version == "v2":
-            self.decoder = GeneratorV2(
-                data_size=cfg.n_band, capacity=cfg.capacity,
-                ratios=cfg.ratios, latent_size=dec_latent,
-                kernel_size=cfg.kernel_size, dilations=cfg.dilations,
-                keep_dim=cfg.keep_dim,
-                amplitude_modulation=cfg.amplitude_modulation,
-                use_noise=cfg.use_noise, noise_ratios=cfg.noise_ratios,
-                noise_bands=cfg.noise_bands, activation=cfg.activation,
-                weight_norm=cfg.weight_norm, adain=cfg.adain,
-                gru_layers=cfg.decoder_gru_layers,
-                fused=cfg.fused_kernels,
-                train_mode=self.train_mode, ss=ss)
-        else:
-            self.decoder = GeneratorV1(
-                latent_size=dec_latent, capacity=cfg.capacity,
-                data_size=cfg.n_band, ratios=cfg.ratios,
-                loud_stride=cfg.v1_loud_stride, use_noise=cfg.v1_use_noise,
-                kernel_sizes=cfg.v1_kernel_sizes,
-                dilations_list=cfg.v1_dilations_list,
-                activation=cfg.activation, weight_norm=cfg.weight_norm,
-                ss=ss)
+        self.decoder = make_decoder(cfg, ss, self.train_mode)
 
+        # composite streaming delay at the band rate -- the single delay
+        # authority; export/streaming.py reads band_frame_delay (same
+        # builders) instead of re-deriving the chain
+        self.band_delay = (band_frame_delay(cfg, ss) if ss.streaming
+                           else 0)
         if cfg.n_band > 1:
-            # synthesis-side frame parity: band stream entering inverse
-            # lags the offline graph by enc (latent frames -> band frames)
-            # + decoder band-frame delay; odd lag flips the reverse_half
-            # mask (see ops/pqmf.py)
-            enc_ratio_total = 1
-            for r in enc_ratios:
-                enc_ratio_total *= r
-            band_delay = (self.encoder.out_delay * enc_ratio_total
-                          + self.decoder.out_delay)
+            # synthesis-side frame parity: odd band-frame lag flips the
+            # reverse_half mask (see ops/pqmf.py)
             self.pqmf = PQMF(attenuation=cfg.pqmf_attenuation,
                              n_band=cfg.n_band,
-                             inverse_parity=band_delay % 2, ss=ss)
+                             inverse_parity=self.band_delay % 2, ss=ss)
         else:
             self.pqmf = None
 
@@ -286,6 +305,20 @@ class RAVE(nn.Module):
         return jnp.concatenate([z, feat], axis=-1)
 
     def decode(self, z: jax.Array, rng: Optional[jax.Array] = None):
+        cfg = self.cfg
+        want = cfg.decoder_latent_size()
+        if cfg.noise_augmentation and \
+                z.shape[-1] == want - cfg.noise_augmentation:
+            # latent from ``encode``/RVQ decode has no noise-augmentation
+            # channels (the reference re-samples them at decode time,
+            # scripts/export.py:503-517); insert fresh noise between the
+            # latent and any trailing speaker/pitch channels so the
+            # layout matches the training-time reparametrize output
+            noise = jax.random.normal(
+                self.make_rng("latent") if rng is None else rng,
+                (*z.shape[:2], cfg.noise_augmentation), z.dtype)
+            lat = cfg.latent_size
+            z = jnp.concatenate([z[..., :lat], noise, z[..., lat:]], -1)
         y = self.decode_bands(z, rng)
         return self.pqmf_inverse(y)
 
@@ -309,12 +342,7 @@ class RAVE(nn.Module):
         if not isinstance(self.latent, DiscreteHead):
             raise ValueError("decode_indices requires latent_head=discrete")
         z = self.latent.decode(idx)
-        if self.cfg.noise_augmentation:
-            noise = jax.random.normal(
-                self.make_rng("latent") if rng is None else rng,
-                (*z.shape[:2], self.cfg.noise_augmentation), z.dtype)
-            z = jnp.concatenate([z, noise], axis=-1)
-        return self.decode(z, rng)
+        return self.decode(z, rng)  # decode re-samples the noise channels
 
     def __call__(self, x: jax.Array, rng: Optional[jax.Array] = None):
         return self.decode(self.encode(x, rng), rng)
@@ -328,8 +356,7 @@ class RAVE(nn.Module):
         z = self.encode_input(x, bands)
         if self.ce_projection is not None:
             _ = self.project_units(z)
-        _ = self.reparametrize(z if self.cfg.speaker_embedding_size == 0
-                               else z, train=False)
+        _ = self.reparametrize(z, train=False)
         return y
 
     # voice conversion: encode source content, condition on target timbre

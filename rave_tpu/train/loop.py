@@ -252,6 +252,12 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
     # (reference model.py:364-372 with the runtime-probed RF buffer)
     if cfg.valid_signal_crop:
         lc, rc = receptive_field_frames(cfg)
+        if lc + rc >= bands_x.shape[1]:
+            raise ValueError(
+                f"valid_signal_crop removes {lc}+{rc} band frames but the "
+                f"clip has only {bands_x.shape[1]}; raise n_signal to at "
+                f"least ~{(lc + rc + 1) * cfg.n_band * 2} samples or set "
+                "valid_signal_crop=false")
         sl = slice(lc, bands_x.shape[1] - rc if rc else None)
         bands_x = bands_x[:, sl]
         bands_y = bands_y[:, sl]
@@ -296,7 +302,18 @@ def receptive_field_frames(cfg: RAVEConfig) -> tuple[int, int]:
             rf += ((cfg.kernel_size - 1) * d) * stride
         rf += 2 * r * stride
         stride *= r
-    rf_frames = max(1, rf // (stride * 4))
+    # rf is the total encoder kernel extent in band frames; the decoder
+    # mirrors it.  PQMF analysis+synthesis add their own taps at the
+    # band rate (the autograd probe on v2 measures 1113 band frames per
+    # side vs rf=1041 without them).  A 9/8 margin on top covers the
+    # remainder (validated against utils.receptive_field in
+    # tests/test_train.py).
+    if cfg.n_band > 1:
+        from ..ops.pqmf import _pqmf_kernels
+        Ha, pad_a, Hs, pad_s = _pqmf_kernels(cfg.pqmf_attenuation,
+                                             cfg.n_band)
+        rf += Ha.shape[0] + Hs.shape[0]
+    rf_frames = max(1, rf * 9 // 8)
     if cfg.causal:
         return 2 * rf_frames, 0
     return rf_frames, rf_frames
@@ -336,8 +353,11 @@ def make_train_step(cfg: RAVEConfig):
                               state.model_state, batch, rng, state.step)
         loss_terms = dict(out["dists"])
         beta = schedules.beta_factor(state.step, cfg)
-        if cfg.latent_head in ("variational", "wasserstein") \
-                and cfg.speaker_embedding_size == 0:
+        if cfg.speaker_embedding_size == 0:
+            # every latent head's regulariser rides the beta schedule
+            # (upstream model.py:535-536: KL / MMD / RVQ commitment;
+            # spherical returns 0) -- the speaker fork detaches z and
+            # trains the encoder by CE only (model.py:349,359)
             loss_terms["regularization"] = out["reg"] * beta
 
         def with_disc(_):
@@ -407,10 +427,14 @@ def make_train_step(cfg: RAVEConfig):
 
         # unify metric structures: run cond over the two branches
         is_dis = schedules.is_discriminator_step(state.step, cfg)
+        # schedule metrics belong to the step whose losses they rode
+        # (computing them after the increment logged the NEXT step's
+        # beta/warmed_up next to THIS step's losses)
+        this_step = state.step
         state, metrics = jax.lax.cond(is_dis, do_dis, do_gen, state)
         state = state.replace(step=state.step + 1)
-        metrics["beta"] = schedules.beta_factor(state.step, cfg)
-        metrics["warmed_up"] = schedules.warmed_up(state.step, cfg)
+        metrics["beta"] = schedules.beta_factor(this_step, cfg)
+        metrics["warmed_up"] = schedules.warmed_up(this_step, cfg)
         return state, metrics
 
     return train_step

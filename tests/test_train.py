@@ -174,3 +174,72 @@ def test_spectral_disc_rejects_too_short_signal():
     x = jnp.zeros((1, 2048, 1))
     with pytest.raises(ValueError, match="spectral discriminator scale"):
         d.init(jax.random.PRNGKey(0), x)
+
+
+def test_valid_signal_crop_covers_measured_receptive_field():
+    """The analytic crop bound must cover (and not wildly exceed) the
+    autograd-measured receptive field (reference core.py:190-226)."""
+    from rave_tpu.models.rave import RAVE
+    from rave_tpu.models.latent import VariationalHead
+    from rave_tpu.train.loop import receptive_field_frames
+    from rave_tpu.utils.receptive_field import measure_receptive_field
+
+    cfg = build_config(["v2"], ["capacity=4", "n_band=4", "kernel_size=3",
+                                "ratios=[2,2]", "dilations=[1,3]"])
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jnp.zeros((1, 4096, 1), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "latent": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2),
+            "quantizer": jax.random.PRNGKey(3)}
+    v = model.init(rngs, x)
+
+    def apply_fn(inp):
+        bands = model.apply(v, inp, method=RAVE.pqmf_forward)
+        z = model.apply(v, inp, bands, method=RAVE.encode_input,
+                        rngs={"latent": jax.random.PRNGKey(4)})
+        mean, _ = VariationalHead.mean_scale(z)
+        y = model.apply(v, mean, None, False, method=RAVE.decode_bands,
+                        rngs={"noise": jax.random.PRNGKey(5)})
+        return model.apply(v, y, method=RAVE.pqmf_inverse)
+
+    left, right = measure_receptive_field(apply_fn, T=4096)
+    need = max(left, right) // cfg.n_band + 1  # band frames per side
+    lc, rc = receptive_field_frames(cfg)
+    assert lc >= need and rc >= need, (lc, rc, need)
+    assert lc <= 4 * need, (lc, need)  # not absurdly over-cropping
+
+
+def test_valid_signal_crop_rejects_short_clips():
+    cfg = tiny_cfg(["valid_signal_crop=true"])
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    with pytest.raises(ValueError, match="valid_signal_crop"):
+        step(state, make_batch(cfg), jax.random.PRNGKey(1))
+
+
+def test_wasserstein_noise_aug_roundtrip_and_train():
+    """noise_augmentation: encode returns the raw latent (reference
+    exports raw z, scripts/export.py:503-517) and decode re-samples the
+    noise channels, so decode(encode(x)) and the train step must both
+    work with the same parameter tree."""
+    cfg = build_config(["v2", "wasserstein"],
+                       TINY + ["noise_augmentation=8", "latent_size=4"])
+    cfg.discriminator.kind = "multi_scale"
+    cfg.discriminator.capacity = 4
+    cfg.discriminator.n_layers = 2
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    state, m = step(state, make_batch(cfg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss_gen_total"]))
+
+    from rave_tpu.models.rave import RAVE
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = make_batch(cfg)["x"]
+    variables = {"params": state.gen_params, **state.model_state}
+    rngs = {"latent": jax.random.PRNGKey(2),
+            "noise": jax.random.PRNGKey(3)}
+    z = model.apply(variables, x, method=RAVE.encode, rngs=rngs)
+    assert z.shape[-1] == cfg.latent_size  # raw latent, no noise channels
+    y = model.apply(variables, z, method=RAVE.decode, rngs=rngs)
+    assert y.shape == x.shape
