@@ -34,9 +34,11 @@ def bench_train(batch: int, n_signal: int, n_steps: int = 20):
     from rave_tpu.config import build_config
     from rave_tpu.train.loop import init_state, make_train_step
 
+    # the true v2 training step: valid_signal_crop stays at the config
+    # default (True, reference v2.gin / model.py:364-372 crops losses by
+    # the receptive field)
     cfg = build_config(["v2"], [f"batch_size={batch}",
                                 f"n_signal={n_signal}",
-                                "valid_signal_crop=false",
                                 "phase_1_duration=0",
                                 "compute_dtype=bfloat16"])
     log(f"init v2 batch={batch} n_signal={n_signal}")

@@ -78,7 +78,9 @@ def main(argv=None):
 
     st = sub.add_parser("speaker_stats", help="per-speaker f0 statistics")
     st.add_argument("--db_path", required=True)
-    st.add_argument("--out", default="speaker_stats.json")
+    st.add_argument("--out", default=None,
+                    help="output json; default <db_path>/"
+                         "speaker_stats.json (where train looks)")
 
     un = sub.add_parser("units", help="precompute discrete-unit CE targets")
     un.add_argument("--db_path", required=True)
@@ -119,7 +121,8 @@ def main(argv=None):
         from .data.dataset import AudioDataset
         from .data.pitch import compute_speaker_stats
         ds = AudioDataset(args.db_path)
-        stats = compute_speaker_stats(ds, args.out)
+        out = args.out or str(Path(args.db_path) / "speaker_stats.json")
+        stats = compute_speaker_stats(ds, out)
         print(json.dumps(stats, indent=2))
     elif args.command == "units":
         from .data.dataset import AudioDataset

@@ -67,32 +67,33 @@ def preprocess(input_path: str, output_path: str, n_signal: int = 131072,
 
     jobs = [(p, sample_rate, n_signal) for p in audios]
     speakers: list[str] = []
-    blocks = []
-    if num_workers > 1:
-        with mp.Pool(num_workers) as pool:
-            results = pool.imap(_decode_one, jobs)
-            for chunks, path in results:
-                if chunks is None:
-                    continue
-                spk = path.parent.name if speaker_from == "parent" else "0"
-                blocks.append(chunks)
-                speakers.extend([spk] * len(chunks))
-    else:
-        for job in jobs:
-            chunks, path = _decode_one(job)
+    count = 0
+    # stream records straight to the flat memmap store instead of
+    # accumulating the whole corpus in RAM (the on-disk format is an
+    # append-only int16 block file)
+    with open(out / "data.bin", "wb") as f:
+        def consume(chunks, path):
+            nonlocal count
             if chunks is None:
-                continue
+                return
             spk = path.parent.name if speaker_from == "parent" else "0"
-            blocks.append(chunks)
+            f.write(np.ascontiguousarray(chunks, np.int16).tobytes())
             speakers.extend([spk] * len(chunks))
+            count += len(chunks)
 
-    data = np.concatenate(blocks, axis=0)
-    data.tofile(out / "data.bin")
+        if num_workers > 1:
+            with mp.Pool(num_workers) as pool:
+                for chunks, path in pool.imap(_decode_one, jobs):
+                    consume(chunks, path)
+        else:
+            for job in jobs:
+                consume(*_decode_one(job))
+
     spk_names = sorted(set(speakers))
     spk_ids = np.asarray([spk_names.index(s) for s in speakers], np.int32)
     np.save(out / "speakers.npy", spk_ids)
     meta = dict(n_signal=n_signal, sample_rate=sample_rate,
-                count=int(data.shape[0]), speakers=spk_names,
+                count=count, speakers=spk_names,
                 format="int16_records_v1")
     (out / "meta.json").write_text(json.dumps(meta))
     return meta

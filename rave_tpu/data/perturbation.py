@@ -76,9 +76,27 @@ def random_eq(x: np.ndarray, rng: np.random.Generator,
 
 def _praat_change_gender(x, sr, formant_ratio, pitch_ratio, pitch_range):
     snd = parselmouth.Sound(x.astype(np.float64), sampling_frequency=sr)
+    # new pitch median = measured median * ratio (0.0 = keep), with the
+    # reference's negative-minimum / NaN fallbacks
+    # (rave/perturbation.py:111-133)
+    new_median = 0.0
+    if pitch_ratio != 1.0:
+        try:
+            pitch = snd.to_pitch()
+            median = parselmouth.praat.call(
+                pitch, "Get quantile", 0.0, 0.0, 0.5, "Hertz")
+            minimum = parselmouth.praat.call(
+                pitch, "Get minimum", 0.0, 0.0, "Hertz", "Parabolic")
+            new_median = median * pitch_ratio
+            res_min = new_median + (minimum * pitch_ratio
+                                    - new_median) * pitch_range
+            if res_min < 0 or not np.isfinite(new_median):
+                new_median, pitch_range = 0.0, 1.0
+        except Exception:
+            new_median, pitch_range = 0.0, 1.0
     out = parselmouth.praat.call(
         snd, "Change gender", 75, 600, formant_ratio,
-        0.0 if pitch_ratio == 1.0 else -1.0 * 0 + 0, pitch_range, 1.0)
+        new_median, pitch_range, 1.0)
     return out.values[0].astype(np.float32)
 
 

@@ -29,6 +29,15 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=keep, best_fn=None, create=True),
         )
+        # the best-validation checkpoint lives in its OWN manager so the
+        # rolling max_to_keep of the periodic saves can never garbage-
+        # collect it (the reference keeps distinct best/last
+        # ModelCheckpoints, scripts/train.py:152-154)
+        self.best_mngr = ocp.CheckpointManager(
+            self.dir / "best",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, best_fn=None, create=True),
+        )
         self._best = np.inf
         self._best_file = self.dir / "best_metric.json"
         if self._best_file.exists():
@@ -36,16 +45,22 @@ class CheckpointManager:
 
     def save(self, state: TrainState, metrics: Optional[dict] = None):
         step = int(state.step)
-        self.mngr.save(step, args=ocp.args.StandardSave(state))
+        # validation and ckpt_every can land on the same step; orbax
+        # raises StepAlreadyExistsError on a duplicate save
+        if self.mngr.latest_step() != step:
+            self.mngr.save(step, args=ocp.args.StandardSave(state))
         if metrics and "validation" in metrics:
             v = float(metrics["validation"])
-            if v < self._best:
+            if np.isfinite(v) and v < self._best:
                 self._best = v
+                self.best_mngr.save(step,
+                                    args=ocp.args.StandardSave(state))
                 self._best_file.write_text(json.dumps(
                     {"best": v, "step": step}))
 
     def wait(self):
         self.mngr.wait_until_finished()
+        self.best_mngr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self.mngr.latest_step()
@@ -57,6 +72,14 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint under {self.dir}")
         return self.mngr.restore(step,
                                  args=ocp.args.StandardRestore(template))
+
+    def restore_best(self, template: TrainState) -> TrainState:
+        """The checkpoint with the lowest validation metric so far."""
+        step = self.best_mngr.latest_step()
+        if step is None:
+            return self.restore(template)
+        return self.best_mngr.restore(
+            step, args=ocp.args.StandardRestore(template))
 
 
 def save_config(run_dir: str, cfg) -> None:

@@ -116,9 +116,22 @@ def train_main(args) -> None:
         return batch
 
     train_idx, val_idx = split_dataset(len(ds))
+    if len(train_idx) < cfg.batch_size:
+        raise ValueError(
+            f"training split has {len(train_idx)} records < batch_size "
+            f"{cfg.batch_size}: the loader would yield no batches "
+            "(preprocess more audio or lower batch_size)")
     train_loader = DataLoader(ds, cfg.batch_size, train_idx, shuffle=True,
                               num_workers=getattr(args, "num_workers", 0))
-    val_loader = DataLoader(ds, cfg.batch_size, val_idx, shuffle=False)
+    # a tiny validation split must still yield at least one batch (else
+    # validation is silently NaN and best-tracking never fires), and
+    # every batch must shard evenly over the device mesh: shrink the val
+    # batch to a device-count multiple and repeat indices if needed
+    n_dev = jax.device_count()
+    if len(val_idx) < n_dev:
+        val_idx = (list(val_idx) * n_dev)[:n_dev]
+    val_bs = min(cfg.batch_size, (len(val_idx) // n_dev) * n_dev)
+    val_loader = DataLoader(ds, val_bs, val_idx, shuffle=False)
 
     mesh = make_mesh()
     bs = batch_sharding(mesh)
@@ -148,9 +161,12 @@ def train_main(args) -> None:
     window = 50
     last = t0
     done = False
+    # host-side step counter (reading int(state.step) every iteration
+    # would sync on the previous step's device output and serialize host
+    # batch prep against device compute)
+    step = int(state.step)
     while not done:
         for batch in train_loader:
-            step = int(state.step)
             if step >= cfg.max_steps:
                 done = True
                 break
@@ -171,13 +187,18 @@ def train_main(args) -> None:
             if args.val_every and step and step % args.val_every == 0:
                 vals, zs = [], []
                 demo = None
+                single = jax.process_count() == 1
                 for vb in val_loader:
-                    m, y, z = eval_fn(state, put(enrich(vb)), jax.random.PRNGKey(2))
+                    m, y, z = eval_fn(state, put(enrich(vb)),
+                                      jax.random.PRNGKey(2))
                     vals.append(float(m["validation"]))
-                    zs.append(np.asarray(z).reshape(-1, z.shape[-1]))
-                    if demo is None:
-                        demo = (np.asarray(vb["x"][0, :, 0]),
-                                np.asarray(y[0, :, 0]))
+                    if single:
+                        # batch-sharded arrays are only fully fetchable
+                        # single-host; metrics are replicated scalars
+                        zs.append(np.asarray(z).reshape(-1, z.shape[-1]))
+                        if demo is None:
+                            demo = (np.asarray(vb["x"][0, :, 0]),
+                                    np.asarray(y[0, :, 0]))
                 if demo is not None and is_main:
                     # audio demos, like the reference's TB/wandb audio
                     # logging (model.py:786-803): original + reconstruction
@@ -201,15 +222,17 @@ def train_main(args) -> None:
                                                    save_latent_stats)
                         save_latent_stats(run_dir,
                                           fit_latent_pca(np.concatenate(zs)))
-                    ckpt.save(state, {"validation": v})
+                ckpt.save(state, {"validation": v})
 
-            if args.ckpt_every and step and step % args.ckpt_every == 0 \
-                    and is_main:
+            if args.ckpt_every and step and step % args.ckpt_every == 0:
+                # orbax saves are cross-process collectives: every
+                # process must enter save(), not just the main one
                 ckpt.save(state)
+            step += 1
 
+    ckpt.save(state)
+    ckpt.wait()
     if is_main:
-        ckpt.save(state)
-        ckpt.wait()
         logger.status(int(state.step), {"finished": 1.0})
     print(f"finished at step {int(state.step)} "
           f"({time.time() - t0:.0f}s)")
