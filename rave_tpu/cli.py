@@ -63,6 +63,9 @@ def main(argv=None):
     ex.add_argument("--target_sr", type=int, default=None,
                     help="host sample rate (integer multiple of the "
                          "model rate); adds streaming resampler stages")
+    ex.add_argument("--best", action="store_true",
+                    help="export the best-validation checkpoint instead "
+                         "of the latest")
     ex.add_argument("--voice_conversion", action="store_true",
                     help="also export the myforward conversion step "
                          "(speaker-conditioned models)")

@@ -440,7 +440,7 @@ def write_pjrt_artifacts(out: Path, exp, cache, *, chunk: int,
             f.write(np.ascontiguousarray(np.asarray(v)).tobytes())
 
 
-def load_run(run_dir: str):
+def load_run(run_dir: str, best: bool = False):
     """Rebuild config + latest params from a training run directory."""
     import dataclasses
     from ..config import RAVEConfig, DiscriminatorConfig
@@ -458,12 +458,12 @@ def load_run(run_dir: str):
                for k, v in dc.items()})
     state = init_state(cfg, jax.random.PRNGKey(0), batch_size=1)
     ckpt = CheckpointManager(run)
-    state = ckpt.restore(state)
+    state = ckpt.restore_best(state) if best else ckpt.restore(state)
     return cfg, state
 
 
 def export_main(args) -> None:
-    cfg, state = load_run(args.run)
+    cfg, state = load_run(args.run, best=getattr(args, "best", False))
     # prefer EMA weights when trained with EMA (reference export's --ema,
     # scripts/export.py:560-572)
     params = state.ema_params if state.ema_params is not None \
