@@ -23,6 +23,9 @@ def main(argv=None):
     pp.add_argument("--num_signal", type=int, default=131072)
     pp.add_argument("--sampling_rate", type=int, default=44100)
     pp.add_argument("--num_workers", type=int, default=8)
+    pp.add_argument("--lazy", action="store_true",
+                    help="store only {path, length}; items decode on "
+                         "demand (reference preprocess --lazy)")
 
     tr = sub.add_parser("train", help="train a model")
     tr.add_argument("--config", action="append", default=[],
@@ -108,7 +111,8 @@ def main(argv=None):
         meta = preprocess(args.input_path, args.output_path,
                           n_signal=args.num_signal,
                           sample_rate=args.sampling_rate,
-                          num_workers=args.num_workers)
+                          num_workers=args.num_workers,
+                          lazy=args.lazy)
         print(meta)
     elif args.command == "train":
         from .train.trainer import train_main

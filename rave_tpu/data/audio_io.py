@@ -86,6 +86,24 @@ def load_audio(path: str, sr: int) -> np.ndarray:
         f"cannot decode {path}: not a WAV and ffmpeg unavailable")
 
 
+def audio_length(path: str, sr: int) -> int:
+    """Number of samples the file decodes to at ``sr``, without decoding
+    (the reference's lazy preprocess stores only ``{path, length}`` from
+    ffprobe durations, ``scripts/preprocess.py:214-225``).  WAV lengths
+    come from the header; other containers use ffprobe when available and
+    fall back to a full decode."""
+    p = Path(path)
+    if p.suffix.lower() == ".wav":
+        with wave.open(str(p), "rb") as w:
+            return w.getnframes() * sr // w.getframerate()
+    if shutil.which("ffprobe") is not None:
+        cmd = ["ffprobe", "-v", "error", "-show_entries", "format=duration",
+               "-of", "csv=p=0", str(p)]
+        out = subprocess.run(cmd, capture_output=True, check=True).stdout
+        return int(float(out.strip()) * sr)
+    return len(load_audio(str(p), sr))
+
+
 def search_for_audios(root: str, exts=AUDIO_EXTS) -> list[Path]:
     """Recursive audio search (reference ``preprocess.py:161-168``)."""
     root = Path(root)

@@ -30,7 +30,7 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 from scipy.signal import lfilter
 
-from .audio_io import load_audio, search_for_audios
+from .audio_io import audio_length, load_audio, search_for_audios
 
 
 # ----------------------------------------------------------------------
@@ -53,17 +53,38 @@ def _decode_one(args):
 
 def preprocess(input_path: str, output_path: str, n_signal: int = 131072,
                sample_rate: int = 44100, num_workers: int = 8,
-               speaker_from: str = "parent") -> dict:
+               speaker_from: str = "parent", lazy: bool = False) -> dict:
     """Decode every audio file under ``input_path`` into ``n_signal``
     chunks, concatenated in one int16 memmap.  ``speaker_from='parent'``
     labels each chunk with its parent directory name (VCTK layout), as the
     reference's lazy dataset derives speaker ids from paths
-    (``rave/dataset.py:244-256``)."""
+    (``rave/dataset.py:244-256``).
+
+    ``lazy=True`` mirrors the reference's ``--lazy`` mode
+    (``scripts/preprocess.py:214-225``): only ``{path, length}`` records
+    are stored and items decode on demand via :class:`LazyAudioDataset`.
+    """
     out = Path(output_path)
     out.mkdir(parents=True, exist_ok=True)
     audios = search_for_audios(input_path)
     if not audios:
         raise FileNotFoundError(f"no audio under {input_path}")
+
+    if lazy:
+        files = []
+        for p in audios:
+            try:
+                length = audio_length(str(p), sample_rate)
+            except Exception as e:
+                print(f"skip {p}: {e}")
+                continue
+            if length >= n_signal:
+                files.append(dict(path=str(p.absolute()), length=length))
+        count = sum(f["length"] // n_signal for f in files)
+        meta = dict(n_signal=n_signal, sample_rate=sample_rate,
+                    count=count, files=files, format="lazy_v1")
+        (out / "meta.json").write_text(json.dumps(meta))
+        return meta
 
     jobs = [(p, sample_rate, n_signal) for p in audios]
     speakers: list[str] = []
@@ -255,25 +276,40 @@ class AudioDataset:
 class LazyAudioDataset:
     """Per-item decode of raw files (reference ``LazyAudioDataset``,
     ``rave/dataset.py:200-289``): index = cumulative chunk map over file
-    durations; items decode on demand."""
+    durations; items decode on demand.
 
-    def __init__(self, audio_root: str, n_signal: int, sr: int,
+    Construct from a raw audio tree, or from a ``preprocess --lazy`` db
+    via :func:`make_dataset` (meta format ``lazy_v1`` stores the
+    reference-style ``{path, length}`` records)."""
+
+    def __init__(self, audio_root: Optional[str] = None,
+                 n_signal: int = 131072, sr: int = 44100,
+                 files: Optional[Sequence] = None,
                  perturb=None, noise=None, seed: int = 0):
-        self.files = search_for_audios(audio_root)
+        if files is not None:
+            # (path, length) records from a lazy preprocess db: index
+            # without touching the audio
+            self.files = [Path(f["path"]) for f in files]
+            lengths = [int(f["length"]) for f in files]
+        else:
+            self.files = search_for_audios(audio_root)
+            lengths = []
+            for f in list(self.files):
+                try:
+                    lengths.append(audio_length(str(f), sr))
+                except Exception:
+                    self.files.remove(f)
         self.n_signal = n_signal
         self.sr = sr
         self.perturb = perturb
         self.noise = noise
+        self.integrator = None
+        self.units = None
         self._rng = np.random.default_rng(seed)
         self._index = []
         self.speaker_names = sorted({f.parent.name for f in self.files})
-        for f in self.files:
-            try:
-                x = load_audio(str(f), sr)
-            except Exception:
-                continue
-            n_chunks = len(x) // n_signal
-            for c in range(n_chunks):
+        for f, length in zip(self.files, lengths):
+            for c in range(length // n_signal):
                 self._index.append((f, c))
         self._cache: dict = {}
 
@@ -281,20 +317,41 @@ class LazyAudioDataset:
         return len(self._index)
 
     def __getitem__(self, i: int):
+        return self.get(i, self._rng)
+
+    def get(self, i: int, rng: np.random.Generator):
         f, c = self._index[i]
         if f not in self._cache:
             if len(self._cache) > 4:
                 self._cache.clear()
             self._cache[f] = load_audio(str(f), self.sr)
         x = self._cache[f][c * self.n_signal:(c + 1) * self.n_signal].copy()
+        if len(x) < self.n_signal:  # header/probe length over-estimate
+            x = np.pad(x, (0, self.n_signal - len(x)))
         xp = x
         if self.perturb is not None:
-            xp = self.perturb(x.copy(), self._rng)
+            xp = self.perturb(x.copy(), rng)
         if self.noise is not None:
-            xp = self.noise(xp, self._rng)
+            xp = self.noise(xp, rng)
         spk = self.speaker_names.index(f.parent.name)
         return dict(x=x.astype(np.float32), x_perturbed=xp.astype(np.float32),
                     speaker=np.int32(spk))
+
+
+def make_dataset(db_path: str, n_signal: Optional[int] = None, **kw):
+    """Open a preprocessed db, dispatching on its storage format: the
+    record-store :class:`AudioDataset` or, for ``preprocess --lazy`` dbs,
+    the per-item-decode :class:`LazyAudioDataset` (reference
+    ``get_dataset``, ``rave/dataset.py:325-344``, branches on
+    ``metadata.yaml``'s lazy flag)."""
+    meta = json.loads((Path(db_path) / "meta.json").read_text())
+    if meta.get("format") == "lazy_v1":
+        kw.pop("normalize", None)
+        kw.pop("derivative", None)
+        return LazyAudioDataset(n_signal=n_signal or meta["n_signal"],
+                                sr=meta["sample_rate"], files=meta["files"],
+                                **kw)
+    return AudioDataset(db_path, n_signal=n_signal, **kw)
 
 
 def split_dataset(n: int, percent: float = 98.0, max_residual: int = 1000,

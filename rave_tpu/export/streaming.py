@@ -30,6 +30,15 @@ from ..config import RAVEConfig
 from ..models.rave import RAVE
 
 
+def _zeros_like_tree(tree):
+    """Fresh zero buffers with the same structure/shapes/dtypes.
+
+    The step executables donate their cache argument, so a live cache
+    tree must never alias ``init_cache`` -- the first call would delete
+    the pristine buffers (see :meth:`StreamingRAVE.reset`)."""
+    return jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), tree)
+
+
 class StreamingRAVE:
     """Stateful chunked inference driver around the streaming model."""
 
@@ -102,7 +111,7 @@ class StreamingRAVE:
             dec_vars = self.model.init(rngs, z, method=RAVE.decode)
             self.init_dec_cache = jax.tree.map(jnp.zeros_like,
                                                dec_vars.get("cache", {}))
-            self.dec_cache = self.init_dec_cache
+            self.dec_cache = _zeros_like_tree(self.init_dec_cache)
 
         self.target_sr = target_sr
         if target_sr is not None and target_sr != cfg.sampling_rate:
@@ -128,8 +137,8 @@ class StreamingRAVE:
                 jnp.zeros_like, dvars.get("cache", {}))
             self.init_up_cache = jax.tree.map(
                 jnp.zeros_like, uvars.get("cache", {}))
-            self.down_cache = self.init_down_cache
-            self.up_cache = self.init_up_cache
+            self.down_cache = _zeros_like_tree(self.init_down_cache)
+            self.up_cache = _zeros_like_tree(self.init_up_cache)
 
             def rs_down(cache, x):
                 y, upd = rs.apply({"cache": cache}, x,
@@ -170,7 +179,7 @@ class StreamingRAVE:
             self._encode_idx = jax.jit(encode_idx, donate_argnums=(0,))
             self._decode_idx = jax.jit(decode_idx, donate_argnums=(0,))
 
-        self.cache = self.init_cache
+        self.cache = _zeros_like_tree(self.init_cache)
 
     # -- latency ----------------------------------------------------------
 
@@ -208,14 +217,12 @@ class StreamingRAVE:
     def reset(self):
         # fresh zero buffers: the previous cache arrays were donated to
         # the step executables and must not be re-aliased
-        zeros = lambda tree: jax.tree.map(
-            lambda a: jnp.zeros(a.shape, a.dtype), tree)
-        self.cache = zeros(self.init_cache)
+        self.cache = _zeros_like_tree(self.init_cache)
         if self.stereo:
-            self.dec_cache = zeros(self.init_dec_cache)
+            self.dec_cache = _zeros_like_tree(self.init_dec_cache)
         if self.rs_ratio > 1:
-            self.down_cache = zeros(self.init_down_cache)
-            self.up_cache = zeros(self.init_up_cache)
+            self.down_cache = _zeros_like_tree(self.init_down_cache)
+            self.up_cache = _zeros_like_tree(self.init_up_cache)
 
     def _to_model_rate(self, x_chunk: np.ndarray) -> jax.Array:
         x = jnp.asarray(x_chunk)
@@ -296,9 +303,7 @@ class StreamingRAVE:
                 return ys, cache
             self._scan_fwd = scan_fwd
 
-        zero_cache = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype),
-                                  self.init_cache)
-        ys, _ = self._scan_fwd(zero_cache, chunks)
+        ys, _ = self._scan_fwd(_zeros_like_tree(self.init_cache), chunks)
         return np.asarray(ys).reshape(-1)
 
     # -- latent post/pre-processing (reference export.py:482-539) --------
@@ -369,8 +374,7 @@ class StreamingRAVE:
         # the serialized "initial" cache must be pristine zeros -- NOT the
         # live self.cache, which may hold mid-stream ring-buffer state if
         # the model was run before export
-        zero_cache = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype),
-                                  self.init_cache)
+        zero_cache = _zeros_like_tree(self.init_cache)
         flat, treedef = jax.tree.flatten(zero_cache)
         np.savez(out / "cache_init.npz",
                  **{f"c{i}": np.asarray(v) for i, v in enumerate(flat)})

@@ -742,10 +742,17 @@ class CombineDiscriminators(nn.Module):
         return out
 
 
-def member_sub_count(member: str) -> int:
+def member_sub_count(member: str, disc_cfg=None) -> int:
     """Number of sub-discriminators (feature lists) each member emits --
     used to apply per-member loss weights (reference weighs the MelGAN
-    stack at 0.1, model.py:518-519)."""
+    stack at 0.1, model.py:518-519).  Counts that depend on the
+    discriminator config (scale/period lists) are derived from
+    ``disc_cfg`` when given, so non-default configs can't silently
+    mis-align ``member_weights``."""
+    if disc_cfg is not None and member == "spectral":
+        # the only combine member whose sub-count follows the config (the
+        # "periods" member keeps the MPD's own default prime periods)
+        return len(disc_cfg.spectral_scales)
     return {
         "periods": 5,
         "scales": 3,

@@ -77,6 +77,9 @@ class CheckpointManager:
         """The checkpoint with the lowest validation metric so far."""
         step = self.best_mngr.latest_step()
         if step is None:
+            print("WARNING: no best-validation checkpoint exists (was the "
+                  "run trained without --val_every?); falling back to the "
+                  "latest checkpoint")
             return self.restore(template)
         return self.best_mngr.restore(
             step, args=ocp.args.StandardRestore(template))

@@ -143,7 +143,7 @@ def _sub_weights(cfg) -> Optional[list]:
         return None
     w = []
     for m, mw in zip(d.members, d.member_weights):
-        w.extend([float(mw)] * member_sub_count(m))
+        w.extend([float(mw)] * member_sub_count(m, d))
     return w
 
 

@@ -24,7 +24,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from ..config import build_config
-from ..data.dataset import AudioDataset, DataLoader, split_dataset
+from ..data.dataset import DataLoader, make_dataset, split_dataset
 from ..parallel.mesh import (batch_sharding, make_mesh, replicate_state,
                              replicated)
 from .checkpoint import CheckpointManager, save_config
@@ -86,7 +86,7 @@ def train_main(args) -> None:
     save_config(run_dir, cfg)
     logger = MetricLogger(run_dir)
 
-    ds = AudioDataset(args.db_path, n_signal=cfg.n_signal,
+    ds = make_dataset(args.db_path, n_signal=cfg.n_signal,
                       normalize=getattr(args, "normalize", False),
                       derivative=getattr(args, "derivative", False))
 
@@ -116,6 +116,10 @@ def train_main(args) -> None:
         return batch
 
     train_idx, val_idx = split_dataset(len(ds))
+    if len(val_idx) == 0:
+        # single-record corpus: reuse a training item so validation still
+        # yields a batch instead of constructing a batch-size-0 loader
+        val_idx = train_idx[:1]
     if len(train_idx) < cfg.batch_size:
         raise ValueError(
             f"training split has {len(train_idx)} records < batch_size "

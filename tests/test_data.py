@@ -87,6 +87,37 @@ def test_loader_batches(db):
     assert batch["x"].dtype == np.float32
 
 
+def test_lazy_preprocess_and_dataset(tmp_path):
+    """preprocess --lazy stores only {path, length} records; make_dataset
+    dispatches to LazyAudioDataset (reference scripts/preprocess.py:214-225
+    + rave/dataset.py:200-289)."""
+    from rave_tpu.data.dataset import LazyAudioDataset, make_dataset
+    root = tmp_path / "audio"
+    rng = np.random.default_rng(0)
+    for spk in ["spkA", "spkB"]:
+        d = root / spk
+        d.mkdir(parents=True)
+        x = 0.3 * rng.standard_normal(4096 * 3).astype(np.float32)
+        save_wav(d / "a.wav", x, 16000)
+    out = tmp_path / "db"
+    meta = preprocess(str(root), str(out), n_signal=4096, sample_rate=16000,
+                      lazy=True)
+    assert meta["format"] == "lazy_v1"
+    assert meta["count"] == 2 * 3
+    assert all("path" in f and "length" in f for f in meta["files"])
+    assert not (out / "data.bin").exists()  # nothing was decoded to disk
+    ds = make_dataset(str(out))
+    assert isinstance(ds, LazyAudioDataset)
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["x"].shape == (4096,)
+    assert item["speaker"] in (0, 1)
+    assert ds.speaker_names == ["spkA", "spkB"]
+    # loader path used by the trainer (get(i, rng))
+    batch = next(iter(DataLoader(ds, 2)))
+    assert batch["x"].shape == (2, 4096, 1)
+
+
 def test_split_seeded_determinism():
     a1, b1 = split_dataset(100)
     a2, b2 = split_dataset(100)
