@@ -56,6 +56,25 @@ def main(argv=None):
                     help="per-speaker f0 stats json (from `rave-tpu "
                          "speaker_stats`) for pitch conditioning; default "
                          "<db_path>/speaker_stats.json")
+    prt = tr.add_mutually_exclusive_group()
+    prt.add_argument("--perturb", action="store_true", default=None,
+                     help="perturb the encoder input (formant/pitch shift "
+                          "+ EQ); default follows the config "
+                          "(v2_fork enables it)")
+    prt.add_argument("--no_perturb", dest="perturb", action="store_false",
+                     help="disable input perturbation even if the config "
+                          "enables it")
+    tr.add_argument("--noise_path", default=None,
+                    help="pre-decoded noise corpus dir (from `rave-tpu "
+                         "decode_noise`) mixed into the perturbed view at "
+                         "14-15 dB SNR (reference rave/dataset.py:233-238)")
+    tr.add_argument("--speaker_ckpt", default=None,
+                    help="pretrained torch speaker-encoder checkpoint "
+                         "(VoxCeleb ECAPA, __S__.-prefixed keys; reference "
+                         "model.py:165-174) converted at startup; without "
+                         "it use --override train_speaker_encoder=true to "
+                         "train the speaker encoder instead of freezing "
+                         "random weights")
 
     ex = sub.add_parser("export", help="export a streaming model")
     ex.add_argument("--run", required=True)

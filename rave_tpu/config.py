@@ -100,6 +100,17 @@ class RAVEConfig:
     # conditioning (voice conversion fork)
     speaker_embedding_size: int = 0   # 256 in the fork (configs/v2.gin)
     hubert_units: int = 0             # 100 discrete HuBERT units (model.py:117)
+    # perturb the encoder input (formant/pitch shift + EQ [+ noise via
+    # --noise_path]) so it learns speaker-invariant content -- the fork's
+    # central training mechanism (reference rave/dataset.py:258-289
+    # returning (clean, perturbed, speaker); encoder consumes the
+    # perturbed view, model.py:340-343)
+    perturb_inputs: bool = False
+    # train the speaker encoder alongside the content encoder instead of
+    # freezing it -- the fallback when no VoxCeleb-pretrained checkpoint
+    # is available (the reference always freezes a pretrained one,
+    # model.py:165-174; see `rave-tpu train --speaker_ckpt`)
+    train_speaker_encoder: bool = False
     # pitch conditioning: normalised-f0 channels appended to the decoder
     # latent (the fork's myforward surface, scripts/export.py:349-397;
     # core.get_augmented_latent_size's pitch_embedding_size arg,
@@ -243,6 +254,7 @@ def _v2_fork(c: RAVEConfig):
     c.encoder_data_size = 6
     c.speaker_embedding_size = 256
     c.hubert_units = 100
+    c.perturb_inputs = True
     c.recon_loss = "mrstft"
     c.discriminator = DiscriminatorConfig(
         kind="combine", members=("univnet", "melgan_stack"),

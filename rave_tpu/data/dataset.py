@@ -196,6 +196,24 @@ class RandomBackgroundNoise:
         return (x + scale * noise).astype(np.float32)
 
 
+def _apply_perturbation(x: np.ndarray, perturb, noise,
+                        rng: np.random.Generator) -> np.ndarray:
+    """Perturbed-view assembly for the voice-conversion fork (reference
+    ``LazyAudioDataset.__getitem__``, ``rave/dataset.py:280-287``):
+    formant/pitch shift + EQ, then background noise, then a 0.8 peak
+    normalisation (the reference divides by the positive max; abs-max
+    here so a negative-peaked chunk can't flip sign or blow up)."""
+    xp = x
+    if perturb is not None:
+        xp = perturb(x.copy(), rng)
+    if noise is not None:
+        xp = noise(xp, rng)
+    peak = float(np.abs(xp).max())
+    if peak > 1e-6:
+        xp = xp / peak * 0.8
+    return xp.astype(np.float32)
+
+
 # ----------------------------------------------------------------------
 # datasets
 # ----------------------------------------------------------------------
@@ -260,14 +278,11 @@ class AudioDataset:
             x = normalize_signal(x)
         if self.derivator is not None:
             x = self.derivator(x)
-        xp = x
-        if self.perturb is not None:
-            xp = self.perturb(x.copy(), rng)
-        if self.noise is not None:
-            xp = self.noise(xp, rng)
         item = dict(x=x.astype(np.float32),
-                    x_perturbed=xp.astype(np.float32),
                     speaker=np.int32(self.speakers[i]))
+        if self.perturb is not None or self.noise is not None:
+            item["x_perturbed"] = _apply_perturbation(
+                x, self.perturb, self.noise, rng)
         if self.units is not None:
             item["units"] = np.asarray(self.units[i], np.int32)
         return item
@@ -328,14 +343,12 @@ class LazyAudioDataset:
         x = self._cache[f][c * self.n_signal:(c + 1) * self.n_signal].copy()
         if len(x) < self.n_signal:  # header/probe length over-estimate
             x = np.pad(x, (0, self.n_signal - len(x)))
-        xp = x
-        if self.perturb is not None:
-            xp = self.perturb(x.copy(), rng)
-        if self.noise is not None:
-            xp = self.noise(xp, rng)
         spk = self.speaker_names.index(f.parent.name)
-        return dict(x=x.astype(np.float32), x_perturbed=xp.astype(np.float32),
-                    speaker=np.int32(spk))
+        item = dict(x=x.astype(np.float32), speaker=np.int32(spk))
+        if self.perturb is not None or self.noise is not None:
+            item["x_perturbed"] = _apply_perturbation(
+                x, self.perturb, self.noise, rng)
+        return item
 
 
 def make_dataset(db_path: str, n_signal: Optional[int] = None, **kw):

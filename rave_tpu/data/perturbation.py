@@ -8,8 +8,13 @@ this image, so:
 * the parametric EQ is reimplemented natively (audio-EQ-cookbook biquads,
   same coefficient formulas as ``perturbation.py:178-305``),
 * formant shifting is a native spectral-envelope warp (STFT
-  envelope/excitation decomposition + frequency-axis rescale), standing in
-  for Praat's PSOLA-based shift,
+  envelope/excitation decomposition + frequency-axis rescale),
+* pitch-median and pitch-range shifting are a native TD-PSOLA
+  resynthesis driven by the YIN f0 track, with Praat "Change gender"
+  contour semantics (``perturbation.py:97-141``): the target contour is
+  ``f0' = new_median + (f0*ratio - new_median) * range_ratio`` with
+  ``new_median = median * ratio`` and the reference's negative-minimum /
+  NaN fallbacks,
 * if parselmouth IS importable, the Praat path is used (API-compatible).
 """
 
@@ -78,11 +83,16 @@ def _praat_change_gender(x, sr, formant_ratio, pitch_ratio, pitch_range):
     snd = parselmouth.Sound(x.astype(np.float64), sampling_frequency=sr)
     # new pitch median = measured median * ratio (0.0 = keep), with the
     # reference's negative-minimum / NaN fallbacks
-    # (rave/perturbation.py:111-133)
+    # (rave/perturbation.py:111-133).  Pitch analysis uses the reference's
+    # explicit "To Pitch" (0.8/75, 75, 600) call (perturbation.py:62) and
+    # the precomputed Pitch object rides into the (sound, pitch) "Change
+    # gender" variant (perturbation.py:88-90) so Praat does not re-analyze.
     new_median = 0.0
+    pitch = None
     if pitch_ratio != 1.0:
         try:
-            pitch = snd.to_pitch()
+            pitch = parselmouth.praat.call(
+                snd, "To Pitch", 0.8 / 75, 75, 600)
             median = parselmouth.praat.call(
                 pitch, "Get quantile", 0.0, 0.0, 0.5, "Hertz")
             minimum = parselmouth.praat.call(
@@ -93,10 +103,15 @@ def _praat_change_gender(x, sr, formant_ratio, pitch_ratio, pitch_range):
             if res_min < 0 or not np.isfinite(new_median):
                 new_median, pitch_range = 0.0, 1.0
         except Exception:
-            new_median, pitch_range = 0.0, 1.0
-    out = parselmouth.praat.call(
-        snd, "Change gender", 75, 600, formant_ratio,
-        new_median, pitch_range, 1.0)
+            new_median, pitch, pitch_range = 0.0, None, 1.0
+    if pitch is not None:
+        out = parselmouth.praat.call(
+            (snd, pitch), "Change gender", formant_ratio,
+            new_median, pitch_range, 1.0)
+    else:
+        out = parselmouth.praat.call(
+            snd, "Change gender", 75, 600, formant_ratio,
+            new_median, pitch_range, 1.0)
     return out.values[0].astype(np.float32)
 
 
@@ -130,20 +145,129 @@ def formant_shift_native(x: np.ndarray, sr: int,
     return y.astype(np.float32)
 
 
+def pitch_shift_native(x: np.ndarray, sr: int, pitch_ratio: float = 1.0,
+                       range_ratio: float = 1.0, fmin: float = 60.0,
+                       fmax: float = 500.0) -> np.ndarray:
+    """TD-PSOLA pitch-median + pitch-range shift with Praat "Change
+    gender" contour semantics (reference ``perturbation.py:97-141``).
+
+    The YIN track gives analysis epochs (spacing ``sr/f0``); synthesis
+    epochs are laid out at the target contour's rate
+    ``f0' = new_median + (f0*pitch_ratio - new_median) * range_ratio``
+    and each pulls a two-period Hann grain from the nearest analysis
+    epoch, so formants are preserved (duration factor 1.0, like the
+    reference).  Unvoiced stretches keep the local analysis spacing
+    (identity overlap-add).  Applies the reference's guards: mostly
+    unvoiced input, a negative resulting pitch minimum, or a NaN median
+    all fall back to the unshifted signal (``perturbation.py:119-132``).
+    """
+    if pitch_ratio == 1.0 and range_ratio == 1.0:
+        return x.astype(np.float32)
+    from .pitch import yin_f0
+    n = len(x)
+    # ~46 ms analysis frames regardless of rate (fast vibrato smears the
+    # difference function in longer frames and kills the voicing decision)
+    frame = 1 << int(np.log2(max(0.046 * sr, 128)))
+    while frame > max(n // 2, 64):
+        frame //= 2
+    hop = max(frame // 4, 64)
+    if n < 4 * hop:
+        return x.astype(np.float32)
+    f0 = yin_f0(x, sr, frame_length=frame, hop=hop, fmin=fmin, fmax=fmax,
+                threshold=0.15)
+    voiced = f0 > 0
+    if voiced.mean() < 0.1:
+        return x.astype(np.float32)
+    fv = f0[voiced]
+    median = float(np.median(fv))
+    new_median = median * pitch_ratio
+    res_min = new_median + (fv.min() * pitch_ratio - new_median) * range_ratio
+    if res_min <= 0 or not np.isfinite(new_median):
+        return x.astype(np.float32)
+
+    # continuous per-sample tracks (unvoiced filled by interpolation so
+    # epoch spacing stays smooth across gaps)
+    tc = np.arange(len(f0)) * hop + frame // 2
+    f0_fill = np.interp(tc, tc[voiced], fv)
+    f0_at = lambda t: np.interp(t, tc, f0_fill)
+    voiced_at = lambda t: np.interp(t, tc, voiced.astype(np.float64)) > 0.5
+
+    def epochs(rate_fn):
+        ts, t = [], 0.0
+        while t < n:
+            ts.append(t)
+            t += sr / max(rate_fn(t), 1e-3)
+        return np.asarray(ts)
+
+    # analysis pitch marks: spacing from the f0 track, each snapped to
+    # the nearest pulse peak of the low-passed signal so grains are
+    # phase-coherent (the role Praat's glottal-pulse detection plays;
+    # without it overlap-add at a new spacing interferes destructively)
+    from scipy.signal import fftconvolve, firwin
+    cutoff = min(2.2 * median, 0.45 * sr)
+    lp = firwin(255, cutoff, fs=sr)
+    xlp = fftconvolve(x.astype(np.float64), lp, mode="same")
+    ana = []
+    for t in epochs(f0_at):
+        T = sr / max(f0_at(t), 1e-3)
+        c = int(round(t))
+        half = max(int(T / 2) - 1, 1)
+        lo, hi = max(c - half, 0), min(c + half + 1, n)
+        if hi > lo:
+            c = lo + int(np.argmax(xlp[lo:hi]))
+        ana.append(c)
+    ana = np.asarray(sorted(set(ana)), np.float64)
+
+    def target_rate(t):
+        f = f0_at(t)
+        if not voiced_at(t):
+            return f  # identity spacing in unvoiced stretches
+        return max(new_median + (f * pitch_ratio - new_median) * range_ratio,
+                   fmin / 2)
+
+    syn = epochs(target_rate)
+
+    pad = int(sr / (fmin / 2)) + 2
+    xp = np.pad(x.astype(np.float64), pad)
+    y = np.zeros(n + 2 * pad)
+    wsum = np.zeros(n + 2 * pad)
+    # map each synthesis epoch to its nearest analysis epoch (no time
+    # stretch: duration factor 1.0)
+    nearest = np.searchsorted(ana, syn)
+    nearest = np.clip(nearest, 1, len(ana) - 1)
+    left_closer = (syn - ana[nearest - 1]) < (ana[nearest] - syn)
+    nearest = nearest - left_closer.astype(int)
+    for s, ai in zip(syn, nearest):
+        a = ana[ai]
+        T = int(round(sr / max(f0_at(a), 1e-3)))
+        T = min(T, pad - 1)
+        L = 2 * T + 1
+        w = np.hanning(L)
+        c_a = int(round(a)) + pad
+        c_s = int(round(s)) + pad
+        y[c_s - T:c_s + T + 1] += xp[c_a - T:c_a + T + 1] * w
+        wsum[c_s - T:c_s + T + 1] += w
+    y = y[pad:pad + n]
+    wsum = wsum[pad:pad + n]
+    y = np.where(wsum > 1e-3, y / np.maximum(wsum, 1e-3), x)
+    return y.astype(np.float32)
+
+
 def random_formant_pitch(x: np.ndarray, rng: np.random.Generator,
                          sr: int = 44100) -> np.ndarray:
     """Random formant/pitch perturbation (reference
     ``perturbation.py:97-170``: formant ratio ~ U[1,1.4]^(+-1), pitch
     ratio ~ U[1,2]^(+-1), pitch range ratio ~ U[1,1.5]^(+-1))."""
     fr = rng.uniform(1.0, 1.4) ** (1 if rng.uniform() < 0.5 else -1)
+    pr = rng.uniform(1.0, 2.0) ** (1 if rng.uniform() < 0.5 else -1)
+    rr = rng.uniform(1.0, 1.5) ** (1 if rng.uniform() < 0.5 else -1)
     if HAVE_PRAAT:
-        pr = rng.uniform(1.0, 2.0) ** (1 if rng.uniform() < 0.5 else -1)
-        rr = rng.uniform(1.0, 1.5) ** (1 if rng.uniform() < 0.5 else -1)
         try:
             return _praat_change_gender(x, sr, fr, pr, rr)
         except Exception:
             pass
-    return formant_shift_native(x, sr, fr)
+    y = pitch_shift_native(x, sr, pr, rr)
+    return formant_shift_native(y, sr, fr)
 
 
 class Perturb:

@@ -54,15 +54,19 @@ def yin_f0(x: np.ndarray, sr: int, frame_length: int = 2048,
     below = search < threshold
     first = np.where(below.any(1), below.argmax(1), search.argmin(1))
     # YIN: after the first below-threshold crossing, descend to the local
-    # minimum (taking the crossing itself biases the period estimate low)
+    # minimum (taking the crossing itself biases the period estimate low).
+    # Vectorised descent: step every frame one lag right while that
+    # improves, until no frame moves.
     n_search = search.shape[1]
-    tau_sel = first.copy()
-    for fi in range(len(frames)):
-        t0 = int(first[fi])
-        while t0 + 1 < n_search and search[fi, t0 + 1] < search[fi, t0]:
-            t0 += 1
-        tau_sel[fi] = t0
-    first = tau_sel
+    rows = np.arange(len(frames))
+    cur = first.copy()
+    while True:
+        nxt = np.minimum(cur + 1, n_search - 1)
+        better = (nxt > cur) & (search[rows, nxt] < search[rows, cur])
+        if not better.any():
+            break
+        cur = np.where(better, nxt, cur)
+    first = cur
     tau_est = first + tau_min
     voiced = search[np.arange(len(frames)), first] < threshold
 

@@ -81,4 +81,4 @@ class HTTPAudioDataset:
             raw = r.read()
             spk = int(r.headers.get("X-Speaker", 0))
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-        return dict(x=x, x_perturbed=x, speaker=np.int32(spk))
+        return dict(x=x, speaker=np.int32(spk))

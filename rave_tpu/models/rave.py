@@ -243,9 +243,14 @@ class RAVE(nn.Module):
         return self.encoder(feats).astype(jnp.float32)
 
     def speaker_embedding(self, bands: jax.Array) -> jax.Array:
-        """Frozen speaker embedding (B, 256) (reference model.py:351-353
-        computes it under no_grad)."""
+        """Speaker embedding (B, 256).  Frozen by default (reference
+        model.py:351-353 computes it under no_grad on a pretrained
+        encoder); with ``cfg.train_speaker_encoder`` the gradient flows
+        and the optimizer group includes it (the no-pretrained-weights
+        fallback)."""
         emb = self.speaker_encoder(bands)
+        if self.cfg.train_speaker_encoder:
+            return emb
         return jax.lax.stop_gradient(emb)
 
     def reparametrize(self, z, rng=None, train: bool = False, enabled=True):

@@ -43,6 +43,15 @@ DEC_GROUP = ("decoder",)
 FROZEN_GROUP = ("speaker_encoder",)
 
 
+def _enc_group(cfg: RAVEConfig) -> tuple:
+    """The encoder optimizer group; the speaker encoder joins it when
+    trained rather than frozen (cfg.train_speaker_encoder -- the
+    no-pretrained-checkpoint fallback)."""
+    if cfg.train_speaker_encoder:
+        return ENC_GROUP + FROZEN_GROUP
+    return ENC_GROUP
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     gen_params: Any
@@ -75,11 +84,11 @@ def make_optimizers(cfg: RAVEConfig):
     return tx(), tx(), tx()
 
 
-def _split_groups(params):
-    enc = {k: v for k, v in params.items() if k in ENC_GROUP}
+def _split_groups(params, enc_group=ENC_GROUP):
+    enc = {k: v for k, v in params.items() if k in enc_group}
     dec = {k: v for k, v in params.items() if k in DEC_GROUP}
     rest = {k: v for k, v in params.items()
-            if k not in ENC_GROUP and k not in DEC_GROUP}
+            if k not in enc_group and k not in DEC_GROUP}
     return enc, dec, rest
 
 
@@ -103,7 +112,7 @@ def init_state(cfg: RAVEConfig, rng: jax.Array,
     dis_params = unfreeze(dis_vars["params"])
 
     enc_tx, dec_tx, dis_tx = make_optimizers(cfg)
-    enc, dec, _ = _split_groups(gen_params)
+    enc, dec, _ = _split_groups(gen_params, _enc_group(cfg))
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen_params,
@@ -397,8 +406,8 @@ def make_train_step(cfg: RAVEConfig):
         def do_gen(state):
             (loss, (new_state, metrics)), grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True)(state.gen_params, state, batch, rng)
-            enc_g, dec_g, _ = _split_groups(grads)
-            enc_p, dec_p, _ = _split_groups(state.gen_params)
+            enc_g, dec_g, _ = _split_groups(grads, _enc_group(cfg))
+            enc_p, dec_p, _ = _split_groups(state.gen_params, _enc_group(cfg))
             enc_u, enc_opt = enc_tx.update(enc_g, state.enc_opt, enc_p)
             dec_u, dec_opt = dec_tx.update(dec_g, state.dec_opt, dec_p)
             new_params = dict(state.gen_params)

@@ -86,9 +86,30 @@ def train_main(args) -> None:
     save_config(run_dir, cfg)
     logger = MetricLogger(run_dir)
 
+    # input perturbation: the VC fork's core mechanism -- the encoder
+    # consumes a formant/pitch-shifted + EQ'd (+ noised) view while the
+    # losses compare against the clean signal (reference
+    # rave/dataset.py:258-289, model.py:340-343)
+    want_perturb = cfg.perturb_inputs
+    if getattr(args, "perturb", None) is not None:
+        want_perturb = args.perturb
+    perturb = noise = None
+    if want_perturb:
+        from ..data.perturbation import Perturb
+        perturb = Perturb(cfg.sampling_rate)
+    if getattr(args, "noise_path", None):
+        from ..data.dataset import RandomBackgroundNoise
+        noise = RandomBackgroundNoise(args.noise_path, cfg.sampling_rate,
+                                      min_snr_db=14.0, max_snr_db=15.0,
+                                      p=1.0)
+    if perturb is not None and getattr(args, "num_workers", 0) == 0:
+        print("note: input perturbation is CPU-heavy; consider "
+              "--num_workers 8 to overlap it with device compute")
+
     ds = make_dataset(args.db_path, n_signal=cfg.n_signal,
                       normalize=getattr(args, "normalize", False),
-                      derivative=getattr(args, "derivative", False))
+                      derivative=getattr(args, "derivative", False),
+                      perturb=perturb, noise=noise)
 
     # pitch conditioning: per-speaker log-f0 stats (reference
     # global_speaker_dict from speaker_stats_fcpe.json, model.py:243-247,
@@ -142,6 +163,17 @@ def train_main(args) -> None:
     rep = replicated(mesh)
 
     state = init_state(cfg, jax.random.PRNGKey(0))
+    if getattr(args, "speaker_ckpt", None):
+        # pretrained VoxCeleb speaker encoder (reference model.py:165-174:
+        # __S__. key rewrite + freeze); converted torch->flax once here
+        from ..models.speaker_convert import (install_speaker_weights,
+                                              load_speaker_checkpoint)
+        sp, st = load_speaker_checkpoint(args.speaker_ckpt)
+        state = install_speaker_weights(state, sp, st)
+        print(f"loaded pretrained speaker encoder: {args.speaker_ckpt}")
+        if cfg.train_speaker_encoder:
+            print("note: train_speaker_encoder=true -- the pretrained "
+                  "speaker encoder will be fine-tuned, not frozen")
     ckpt = CheckpointManager(run_dir)
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
