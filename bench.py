@@ -30,22 +30,35 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def bench_train(batch: int, n_signal: int, n_steps: int = 20):
+def bench_train(batch: int, n_signal: int, n_steps: int = 20,
+                preset: str = "v2"):
     from rave_tpu.config import build_config
     from rave_tpu.train.loop import init_state, make_train_step
 
     # the true v2 training step: valid_signal_crop stays at the config
     # default (True, reference v2.gin / model.py:364-372 crops losses by
-    # the receptive field)
-    cfg = build_config(["v2"], [f"batch_size={batch}",
-                                f"n_signal={n_signal}",
-                                "phase_1_duration=0",
-                                "compute_dtype=bfloat16"])
-    log(f"init v2 batch={batch} n_signal={n_signal}")
+    # the receptive field).  preset="v2_fork" measures the flagship
+    # voice-conversion step (6-band encoder + frozen speaker encoder +
+    # CE projection + UnivNet/MelGAN discriminators + MR-STFT,
+    # reference model.py:301-592).
+    cfg = build_config([preset], [f"batch_size={batch}",
+                                  f"n_signal={n_signal}",
+                                  "phase_1_duration=0",
+                                  "compute_dtype=bfloat16"])
+    log(f"init {preset} batch={batch} n_signal={n_signal}")
     state = init_state(cfg, jax.random.PRNGKey(0), batch_size=batch)
     step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, n_signal, 1)) * 0.1
     batch_d = {"x": x}
+    if preset == "v2_fork":
+        # the fork batch carries the perturbed encoder view, speaker ids
+        # and HuBERT unit targets (reference dataset.py:258-289; unit
+        # frame rate 50 Hz -> 148 frames per 131072-sample 44.1k record)
+        frames = max(1, int(round(n_signal / cfg.sampling_rate * 50)))
+        batch_d["x_perturbed"] = x[:, ::-1]
+        batch_d["speaker"] = jnp.zeros((batch,), jnp.int32)
+        batch_d["units"] = jax.random.randint(
+            jax.random.PRNGKey(3), (batch, frames), 0, cfg.hubert_units)
     rng = jax.random.PRNGKey(2)
 
     log("compiling train step (first call)...")
@@ -188,6 +201,12 @@ def main():
             break
         except Exception as e:
             log(f"train bench failed at batch={batch}: {e!r}")
+    fork_steps = None
+    if shape is not None:
+        try:
+            fork_steps = bench_train(*shape, preset="v2_fork")
+        except Exception as e:
+            log(f"fork train bench failed: {e!r}")
     try:
         rtf, scan_rtf = bench_stream_decode()
     except Exception as e:
@@ -200,6 +219,8 @@ def main():
         "unit": "steps/s/chip",
         "vs_baseline": (round(0.05 / rtf, 3) if rtf else None),
         "extras": {
+            "v2_fork_train_steps_per_s": (round(fork_steps, 4)
+                                          if fork_steps else None),
             "stream_decode_rtf": round(rtf, 5) if rtf else None,
             "scan_decode_rtf": round(scan_rtf, 5) if scan_rtf else None,
             "train_shape": shape,

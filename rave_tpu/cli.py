@@ -110,6 +110,17 @@ def main(argv=None):
     un = sub.add_parser("units", help="precompute discrete-unit CE targets")
     un.add_argument("--db_path", required=True)
     un.add_argument("--num_units", type=int, default=100)
+    un.add_argument("--provider", choices=["mel", "hubert"], default="mel",
+                    help="mel: self-contained log-mel k-means stand-in; "
+                         "hubert: features from a LOCAL HuBERT checkpoint "
+                         "(reference teacher, rave/model.py:240-241)")
+    un.add_argument("--ckpt", default=None,
+                    help="hubert provider: transformers HubertModel dir "
+                         "or TorchScript feature extractor; a kmeans.npy "
+                         "beside it is used as the unit codebook")
+    un.add_argument("--layer", type=int, default=7,
+                    help="hubert provider: transformer layer to quantize "
+                         "(bshall/hubert-discrete uses layer 7)")
 
     dn = sub.add_parser("decode_noise", help="pre-decode a noise corpus")
     dn.add_argument("--input_path", required=True)
@@ -152,13 +163,25 @@ def main(argv=None):
         print(json.dumps(stats, indent=2))
     elif args.command == "units":
         from .data.dataset import AudioDataset
-        from .data.units import (MelKMeansUnitProvider, precompute_units)
+        from .data.units import (MelKMeansUnitProvider,
+                                 TorchHubertUnitProvider, precompute_units)
         ds = AudioDataset(args.db_path)
-        prov = MelKMeansUnitProvider(num_units=args.num_units,
-                                     sr=ds.sr).fit(ds)
+        if args.provider == "hubert":
+            if not args.ckpt:
+                raise SystemExit("--provider hubert needs --ckpt "
+                                 "(local HuBERT checkpoint; no network)")
+            prov = TorchHubertUnitProvider(args.ckpt, sr=ds.sr,
+                                           layer=args.layer,
+                                           num_units=args.num_units)
+            if prov.codebook is None:
+                prov.fit(ds)
+        else:
+            prov = MelKMeansUnitProvider(num_units=args.num_units,
+                                         sr=ds.sr).fit(ds)
         prov.save(str(Path(args.db_path) / "unit_codebook.npy"))
         arr = precompute_units(ds, prov, args.db_path)
-        print(f"wrote units {arr.shape} to {args.db_path}/units.npy")
+        print(f"wrote units {arr.shape} to {args.db_path}/units.npy "
+              f"({args.provider})")
     elif args.command == "decode_noise":
         from .data.noise_corpus import decode_noise_corpus
         res = decode_noise_corpus(args.input_path, args.output_path,

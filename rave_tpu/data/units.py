@@ -41,38 +41,39 @@ def log_mel_frames(x: np.ndarray, sr: int, n_fft: int = 1024,
     return np.log1p(mag @ mel.T).astype(np.float32)
 
 
-class MelKMeansUnitProvider:
-    def __init__(self, num_units: int = 100, sr: int = 44100,
-                 hop: int = 882, seed: int = 0):
-        self.num_units = num_units
-        self.sr = sr
-        self.hop = hop
-        self.codebook: np.ndarray | None = None
-        self.seed = seed
+def _kmeans(X: np.ndarray, k: int, iters: int,
+            rng: np.random.Generator) -> np.ndarray:
+    cb = X[rng.permutation(len(X))[:k]].copy()
+    for _ in range(iters):
+        d = ((X[:, None] - cb[None]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cb[j] = X[m].mean(0)
+    return cb
+
+
+class _KMeansProviderBase:
+    """Shared fit/quantize over a feature extractor."""
+    num_units: int
+    seed: int
+    codebook: np.ndarray | None
+
+    def _feats(self, x: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
 
     def fit(self, dataset, max_items: int = 200, iters: int = 20):
         rng = np.random.default_rng(self.seed)
-        feats = []
         idx = rng.permutation(len(dataset))[:max_items]
-        for i in idx:
-            f = log_mel_frames(dataset[int(i)]["x"], self.sr, hop=self.hop)
-            feats.append(f)
-        X = np.concatenate(feats)
-        cb = X[rng.permutation(len(X))[: self.num_units]]
-        for _ in range(iters):
-            d = ((X[:, None] - cb[None]) ** 2).sum(-1)
-            a = d.argmin(1)
-            for k in range(self.num_units):
-                m = a == k
-                if m.any():
-                    cb[k] = X[m].mean(0)
-        self.codebook = cb
+        X = np.concatenate([self._feats(dataset[int(i)]["x"]) for i in idx])
+        self.codebook = _kmeans(X, self.num_units, iters, rng)
         return self
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         """(T,) audio -> (frames,) int32 unit ids."""
-        assert self.codebook is not None, "fit() first"
-        f = log_mel_frames(x, self.sr, hop=self.hop)
+        assert self.codebook is not None, "fit() first (or load a codebook)"
+        f = self._feats(x)
         d = ((f[:, None] - self.codebook[None]) ** 2).sum(-1)
         return d.argmin(1).astype(np.int32)
 
@@ -80,10 +81,83 @@ class MelKMeansUnitProvider:
         np.save(path, self.codebook)
 
     @classmethod
-    def load(cls, path: str, **kw) -> "MelKMeansUnitProvider":
+    def load(cls, path: str, **kw):
         p = cls(**kw)
         p.codebook = np.load(path)
         return p
+
+
+class MelKMeansUnitProvider(_KMeansProviderBase):
+    def __init__(self, num_units: int = 100, sr: int = 44100,
+                 hop: int = 882, seed: int = 0):
+        self.num_units = num_units
+        self.sr = sr
+        self.hop = hop
+        self.codebook = None
+        self.seed = seed
+
+    def _feats(self, x: np.ndarray) -> np.ndarray:
+        return log_mel_frames(x, self.sr, hop=self.hop)
+
+
+class TorchHubertUnitProvider(_KMeansProviderBase):
+    """Real HuBERT discrete units from a LOCAL checkpoint, one-shot torch
+    CPU at preprocess time (the reference queries a torch.hub HuBERT
+    teacher inside the train loop, ``rave/model.py:240-241,303-307``;
+    here the teacher never touches the TPU hot path).
+
+    ``ckpt`` is either
+    * a ``transformers`` HubertModel directory (``save_pretrained``
+      layout; e.g. a local clone of facebook/hubert-base-ls960), or
+    * a TorchScript file mapping ``(1, T16k) -> (1, frames, D)`` features.
+
+    Features come from ``layer`` (bshall/hubert-discrete quantizes layer
+    7 of the base model) and are k-means-quantized: ``fit`` on the corpus
+    or load an existing codebook (``kmeans.npy`` next to the checkpoint
+    is picked up automatically).  Audio is resampled to HuBERT's 16 kHz
+    (50 Hz unit rate -- ~148 frames per 131072-sample 44.1 kHz record,
+    the count the reference hard-codes, ``model.py:123``).
+    """
+
+    def __init__(self, ckpt: str, sr: int = 44100, layer: int = 7,
+                 num_units: int = 100, seed: int = 0):
+        import torch
+        self.sr = sr
+        self.layer = layer
+        self.num_units = num_units
+        self.seed = seed
+        self.codebook = None
+        self._torch = torch
+        p = Path(ckpt)
+        if p.is_dir():
+            from transformers import HubertModel
+            self.model = HubertModel.from_pretrained(
+                str(p), local_files_only=True).eval()
+            self._scripted = False
+        else:
+            self.model = torch.jit.load(str(p), map_location="cpu").eval()
+            self._scripted = True
+        cb = p / "kmeans.npy" if p.is_dir() else \
+            p.with_name("kmeans.npy")
+        if cb.exists():
+            self.codebook = np.load(cb).astype(np.float32)
+
+    def _feats(self, x: np.ndarray) -> np.ndarray:
+        torch = self._torch
+        if self.sr != 16000:
+            from scipy.signal import resample_poly
+            from math import gcd
+            g = gcd(16000, self.sr)
+            x = resample_poly(x.astype(np.float64), 16000 // g, self.sr // g)
+        xt = torch.from_numpy(np.ascontiguousarray(x, np.float32))[None]
+        with torch.no_grad():
+            if self._scripted:
+                f = self.model(xt)
+            else:
+                out = self.model(xt, output_hidden_states=True)
+                layer = min(self.layer, len(out.hidden_states) - 1)
+                f = out.hidden_states[layer]
+        return np.asarray(f[0], np.float32)
 
 
 class HubertUnitProvider:

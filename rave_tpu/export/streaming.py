@@ -39,12 +39,19 @@ def _zeros_like_tree(tree):
     return jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), tree)
 
 
+def _copy_tree(tree):
+    """Fresh VALUE copies (same donation-aliasing rule as
+    :func:`_zeros_like_tree`, for state whose initial value is not
+    zero, e.g. AdaIN std buffers)."""
+    return jax.tree.map(lambda a: jnp.array(a), tree)
+
+
 class StreamingRAVE:
     """Stateful chunked inference driver around the streaming model."""
 
     def __init__(self, cfg: RAVEConfig, params, chunk_size: int = 2048,
                  batch_size: int = 1, stereo: bool = False,
-                 target_sr: Optional[int] = None):
+                 target_sr: Optional[int] = None, model_state=None):
         if chunk_size % cfg.total_ratio():
             raise ValueError(
                 f"chunk_size must be a multiple of the total stride "
@@ -69,37 +76,65 @@ class StreamingRAVE:
         self.init_cache = jax.tree.map(jnp.zeros_like,
                                        variables.get("cache", {}))
         self.aux_state = {k: v for k, v in variables.items()
-                          if k not in ("params", "cache")}
+                          if k not in ("params", "cache", "adain")}
+        if model_state:
+            # trained auxiliary collections (RVQ EMA codebooks, BatchNorm
+            # running stats, AdaIN statistics) must override the fresh
+            # init -- serving re-initialised codebooks/stats would decode
+            # garbage (reference checkpoints carry these as buffers)
+            self.aux_state = {**self.aux_state,
+                              **{k: v for k, v in model_state.items()
+                                 if k not in ("cache", "adain")}}
 
-        def forward(cache, x):
+        # AdaIN timbre-transfer state is LIVE serving state, not frozen
+        # aux: its running stats update while learn_source/learn_target
+        # are on and the flags are host-settable between blocks (the
+        # reference exposes them as nn~ attributes, export.py:427-479)
+        self.has_adain = "adain" in variables
+        if self.has_adain:
+            src = (model_state or {}).get("adain", variables["adain"])
+            self.init_adain = jax.tree.map(jnp.asarray, dict(src))
+        else:
+            self.init_adain = {}
+        self._mut = ["cache", "adain"] if self.has_adain else ["cache"]
+
+        def _vars(cache, adain):
+            v = {"params": self.params, "cache": cache, **self.aux_state}
+            if self.has_adain:
+                v["adain"] = adain
+            return v
+
+        def _split_upd(upd, adain):
+            return upd["cache"], (upd["adain"] if self.has_adain else adain)
+
+        def forward(cache, adain, x):
             out, upd = self.model.apply(
-                {"params": self.params, "cache": cache, **self.aux_state},
-                x, mutable=["cache"],
+                _vars(cache, adain), x, mutable=self._mut,
                 rngs={"latent": jax.random.PRNGKey(4),
                       "noise": jax.random.PRNGKey(5)})
-            return out, upd["cache"]
+            return out, *_split_upd(upd, adain)
 
-        def encode(cache, x):
+        def encode(cache, adain, x):
             z, upd = self.model.apply(
-                {"params": self.params, "cache": cache, **self.aux_state},
-                x, method=RAVE.encode, mutable=["cache"],
+                _vars(cache, adain), x, method=RAVE.encode,
+                mutable=self._mut,
                 rngs={"latent": jax.random.PRNGKey(4)})
-            return z, upd["cache"]
+            return z, *_split_upd(upd, adain)
 
-        def decode(cache, z):
+        def decode(cache, adain, z):
             y, upd = self.model.apply(
-                {"params": self.params, "cache": cache, **self.aux_state},
-                z, method=RAVE.decode, mutable=["cache"],
+                _vars(cache, adain), z, method=RAVE.decode,
+                mutable=self._mut,
                 rngs={"noise": jax.random.PRNGKey(5),
                       "latent": jax.random.PRNGKey(7)})
-            return y, upd["cache"]
+            return y, *_split_upd(upd, adain)
 
-        # donate the cache: the ring buffers are updated in place instead
-        # of copied every block (HBM traffic halves on the cache tree;
-        # call sites always rebind to the returned cache)
-        self._forward = jax.jit(forward, donate_argnums=(0,))
-        self._encode = jax.jit(encode, donate_argnums=(0,))
-        self._decode = jax.jit(decode, donate_argnums=(0,))
+        # donate cache + adain: the ring buffers are updated in place
+        # instead of copied every block (HBM traffic halves on the cache
+        # tree; call sites always rebind to the returned state)
+        self._forward = jax.jit(forward, donate_argnums=(0, 1))
+        self._encode = jax.jit(encode, donate_argnums=(0, 1))
+        self._decode = jax.jit(decode, donate_argnums=(0, 1))
 
         if stereo:
             # fake stereo (reference export.py:322-337): one encoding,
@@ -160,26 +195,25 @@ class StreamingRAVE:
         if cfg.latent_head == "discrete":
             # RVQ-indices surface (reference DiscreteScriptedRAVE,
             # export.py:503-517): the compact latent is integer codes.
-            def encode_idx(cache, x):
+            def encode_idx(cache, adain, x):
                 idx, upd = self.model.apply(
-                    {"params": self.params, "cache": cache,
-                     **self.aux_state},
-                    x, method=RAVE.encode_indices, mutable=["cache"])
-                return idx, upd["cache"]
+                    _vars(cache, adain),
+                    x, method=RAVE.encode_indices, mutable=self._mut)
+                return idx, *_split_upd(upd, adain)
 
-            def decode_idx(cache, idx):
+            def decode_idx(cache, adain, idx):
                 y, upd = self.model.apply(
-                    {"params": self.params, "cache": cache,
-                     **self.aux_state},
-                    idx, method=RAVE.decode_indices, mutable=["cache"],
+                    _vars(cache, adain),
+                    idx, method=RAVE.decode_indices, mutable=self._mut,
                     rngs={"latent": jax.random.PRNGKey(6),
                           "noise": jax.random.PRNGKey(5)})
-                return y, upd["cache"]
+                return y, *_split_upd(upd, adain)
 
-            self._encode_idx = jax.jit(encode_idx, donate_argnums=(0,))
-            self._decode_idx = jax.jit(decode_idx, donate_argnums=(0,))
+            self._encode_idx = jax.jit(encode_idx, donate_argnums=(0, 1))
+            self._decode_idx = jax.jit(decode_idx, donate_argnums=(0, 1))
 
         self.cache = _zeros_like_tree(self.init_cache)
+        self.adain = _copy_tree(self.init_adain)
 
     # -- latency ----------------------------------------------------------
 
@@ -218,11 +252,54 @@ class StreamingRAVE:
         # fresh zero buffers: the previous cache arrays were donated to
         # the step executables and must not be re-aliased
         self.cache = _zeros_like_tree(self.init_cache)
+        self.adain = _copy_tree(self.init_adain)
         if self.stereo:
             self.dec_cache = _zeros_like_tree(self.init_dec_cache)
         if self.rs_ratio > 1:
             self.down_cache = _zeros_like_tree(self.init_down_cache)
             self.up_cache = _zeros_like_tree(self.init_up_cache)
+
+    # -- AdaIN timbre-transfer controls (reference nn~ attributes
+    # learn_source/learn_target/reset_source/reset_target,
+    # scripts/export.py:427-479) ------------------------------------------
+
+    def _set_adain(self, updater):
+        if not self.has_adain:
+            raise ValueError("model has no AdaIN layers (adain config)")
+
+        def walk(node):
+            if isinstance(node, dict) and "learn_x" in node:
+                return updater(dict(node))
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            return node
+
+        self.adain = jax.tree.map(jnp.array, walk(self.adain))
+
+    def set_learn_source(self, on: bool):
+        """While on, AdaIN accumulates SOURCE statistics from the stream
+        (reference learn_source attribute)."""
+        v = jnp.float32(1.0 if on else 0.0)
+        self._set_adain(lambda d: {**d, "learn_x": v})
+
+    def set_learn_target(self, on: bool):
+        """While on, AdaIN accumulates TARGET statistics (takes priority
+        over source learning, like the reference's flag logic,
+        rave/blocks.py:884-906)."""
+        v = jnp.float32(1.0 if on else 0.0)
+        self._set_adain(lambda d: {**d, "learn_y": v})
+
+    def reset_source(self):
+        self._set_adain(lambda d: {
+            **d, "mean_x": jnp.zeros_like(d["mean_x"]),
+            "std_x": jnp.ones_like(d["std_x"]),
+            "num_update_x": jnp.zeros_like(d["num_update_x"])})
+
+    def reset_target(self):
+        self._set_adain(lambda d: {
+            **d, "mean_y": jnp.zeros_like(d["mean_y"]),
+            "std_y": jnp.ones_like(d["std_y"]),
+            "num_update_y": jnp.zeros_like(d["num_update_y"])})
 
     def _to_model_rate(self, x_chunk: np.ndarray) -> jax.Array:
         x = jnp.asarray(x_chunk)
@@ -239,33 +316,37 @@ class StreamingRAVE:
         if self.stereo:
             return self.decode(self.encode(x_chunk))
         x = self._to_model_rate(x_chunk)
-        y, self.cache = self._forward(self.cache, x)
+        y, self.cache, self.adain = self._forward(self.cache, self.adain, x)
         return np.asarray(self._from_model_rate(y))
 
     def encode(self, x_chunk: np.ndarray) -> np.ndarray:
-        z, self.cache = self._encode(self.cache,
-                                     self._to_model_rate(x_chunk))
+        z, self.cache, self.adain = self._encode(
+            self.cache, self.adain, self._to_model_rate(x_chunk))
         return np.asarray(z)
 
     def decode(self, z: np.ndarray) -> np.ndarray:
         if self.stereo:
             zz = jnp.concatenate([jnp.asarray(z)] * 2, axis=0)
-            y, self.dec_cache = self._decode(self.dec_cache, zz)
+            y, self.dec_cache, self.adain = self._decode(
+                self.dec_cache, self.adain, zz)
             y = self._from_model_rate(y)
             B = z.shape[0]
             return np.concatenate([np.asarray(y[:B]), np.asarray(y[B:])],
                                   axis=-1)
-        y, self.cache = self._decode(self.cache, jnp.asarray(z))
+        y, self.cache, self.adain = self._decode(self.cache, self.adain,
+                                                 jnp.asarray(z))
         return np.asarray(self._from_model_rate(y))
 
     def encode_indices(self, x_chunk: np.ndarray) -> np.ndarray:
         """Audio chunk -> RVQ indices (discrete head only)."""
-        idx, self.cache = self._encode_idx(self.cache, jnp.asarray(x_chunk))
+        idx, self.cache, self.adain = self._encode_idx(
+            self.cache, self.adain, jnp.asarray(x_chunk))
         return np.asarray(idx)
 
     def decode_indices(self, idx: np.ndarray) -> np.ndarray:
         """RVQ indices -> audio chunk (discrete head only)."""
-        y, self.cache = self._decode_idx(self.cache, jnp.asarray(idx))
+        y, self.cache, self.adain = self._decode_idx(
+            self.cache, self.adain, jnp.asarray(idx))
         return np.asarray(y)
 
     def process_file(self, x: np.ndarray) -> np.ndarray:
@@ -295,15 +376,16 @@ class StreamingRAVE:
             fwd = self._forward
 
             @jax.jit
-            def scan_fwd(cache, chunks):
+            def scan_fwd(cache, adain, chunks):
                 def body(c, xc):
-                    y, c2 = fwd(c, xc)
-                    return c2, y
-                cache, ys = jax.lax.scan(body, cache, chunks)
-                return ys, cache
+                    y, c2, a2 = fwd(c[0], c[1], xc)
+                    return (c2, a2), y
+                carry, ys = jax.lax.scan(body, (cache, adain), chunks)
+                return ys, carry
             self._scan_fwd = scan_fwd
 
-        ys, _ = self._scan_fwd(_zeros_like_tree(self.init_cache), chunks)
+        ys, _ = self._scan_fwd(_zeros_like_tree(self.init_cache),
+                               _copy_tree(self.init_adain), chunks)
         return np.asarray(ys).reshape(-1)
 
     # -- latent post/pre-processing (reference export.py:482-539) --------
@@ -360,28 +442,33 @@ class StreamingRAVE:
         out.mkdir(parents=True, exist_ok=True)
 
         x = jnp.zeros((self.batch, self.chunk, 1), jnp.float32)
-        exp = jexport.export(self._forward)(self.cache, x)
+        adain0 = _copy_tree(self.init_adain)
+        exp = jexport.export(self._forward)(self.cache, adain0, x)
         (out / "forward.stablehlo").write_bytes(exp.serialize())
         # separate encode/decode steps (the nn~ surface registers all
         # three, reference export.py:229-240)
         z = jnp.zeros((self.batch, self.chunk // self.cfg.total_ratio(),
                        self.cfg.decoder_latent_size()), jnp.float32)
         (out / "encode.stablehlo").write_bytes(
-            jexport.export(self._encode)(self.cache, x).serialize())
+            jexport.export(self._encode)(self.cache, adain0, x).serialize())
         (out / "decode.stablehlo").write_bytes(
-            jexport.export(self._decode)(self.cache, z).serialize())
+            jexport.export(self._decode)(self.cache, adain0, z).serialize())
 
         # the serialized "initial" cache must be pristine zeros -- NOT the
         # live self.cache, which may hold mid-stream ring-buffer state if
-        # the model was run before export
+        # the model was run before export.  AdaIN state (stats + the
+        # learn_x/learn_y control scalars a host pokes to drive timbre
+        # transfer) rides in the same carry.
         zero_cache = _zeros_like_tree(self.init_cache)
-        flat, treedef = jax.tree.flatten(zero_cache)
+        flat, treedef = jax.tree.flatten(
+            (zero_cache, _copy_tree(self.init_adain)))
         np.savez(out / "cache_init.npz",
                  **{f"c{i}": np.asarray(v) for i, v in enumerate(flat)})
         meta = dict(chunk_size=self.chunk, batch=self.batch,
                     sampling_rate=self.cfg.sampling_rate,
                     total_delay_samples=int(self.total_delay_samples()),
                     latent_size=self.cfg.latent_size,
+                    adain=self.has_adain,
                     config=self.cfg.name)
         (out / "meta.json").write_text(json.dumps(meta, indent=2))
         self._serialize_pjrt_host_artifacts(out, exp, zero_cache)
@@ -389,7 +476,8 @@ class StreamingRAVE:
 
     def _serialize_pjrt_host_artifacts(self, out: Path, exp,
                                        zero_cache) -> None:
-        write_pjrt_artifacts(out, exp, zero_cache,
+        write_pjrt_artifacts(out, exp,
+                             (zero_cache, _copy_tree(self.init_adain)),
                              chunk=self.chunk,
                              sampling_rate=self.cfg.sampling_rate,
                              batch=self.batch)
@@ -474,7 +562,8 @@ def export_main(args) -> None:
         else state.gen_params
     sr = StreamingRAVE(cfg, params, chunk_size=args.chunk_size,
                        stereo=getattr(args, "stereo", False),
-                       target_sr=getattr(args, "target_sr", None))
+                       target_sr=getattr(args, "target_sr", None),
+                       model_state=state.model_state)
     from ..train.latent_stats import load_latent_stats
     sr.set_latent_stats(load_latent_stats(args.run))
     out = sr.serialize(Path(args.run) / "export")
@@ -487,10 +576,12 @@ def export_main(args) -> None:
                              "conditioned model (e.g. v2_fork)")
         from .voice_conversion import VoiceConverter
         wavs = list(getattr(args, "speaker_wavs", []) or [])
-        table = (VoiceConverter.build_speaker_table(cfg, params, wavs)
+        table = (VoiceConverter.build_speaker_table(
+            cfg, params, wavs, model_state=state.model_state)
                  if wavs else None)
         vc = VoiceConverter(cfg, params, chunk_size=args.chunk_size,
-                            speaker_table=table)
+                            speaker_table=table,
+                            model_state=state.model_state)
         vc.serialize(out)
         print(f"exported voice-conversion step to {out} "
               f"({len(vc.speaker_table)} speaker embeddings)")

@@ -23,7 +23,8 @@ from ..models.rave import RAVE
 
 class VoiceConverter:
     def __init__(self, cfg: RAVEConfig, params, chunk_size: int = 4096,
-                 speaker_table: Optional[np.ndarray] = None):
+                 speaker_table: Optional[np.ndarray] = None,
+                 model_state=None):
         assert cfg.speaker_embedding_size > 0, \
             "voice conversion needs a speaker-conditioned model (v2_fork)"
         self.cfg = cfg
@@ -52,6 +53,11 @@ class VoiceConverter:
         self.cache = self._fresh_cache()
         aux = {k: v for k, v in variables.items()
                if k not in ("params", "cache")}
+        if model_state:
+            # trained aux collections (speaker-encoder BatchNorm running
+            # stats, RVQ codebooks) override the fresh init
+            aux = {**aux, **{k: v for k, v in model_state.items()
+                             if k != "cache"}}
 
         def fwd(cache, x, emb, pitch_feat):
             v = {"params": self.params, "cache": cache, **aux}
@@ -181,11 +187,12 @@ class VoiceConverter:
 
     @staticmethod
     def build_speaker_table(cfg: RAVEConfig, params,
-                            wav_paths: list) -> np.ndarray:
+                            wav_paths: list,
+                            model_state=None) -> np.ndarray:
         """Embedding table from target-speaker wavs (the reference bakes
         speaker1..speaker4 buffers into ScriptedRAVE, export.py:75-97)."""
         from ..data.audio_io import load_wav
-        vc = VoiceConverter(cfg, params)
+        vc = VoiceConverter(cfg, params, model_state=model_state)
         rows = []
         for p in wav_paths:
             x, sr = load_wav(p)

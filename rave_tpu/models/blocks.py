@@ -609,11 +609,13 @@ class GeneratorV2(nn.Module):
 class EncoderV1(nn.Module):
     """Strided-conv encoder (reference ``Encoder``, ``rave/blocks.py:422-497``).
 
-    BatchNorm is replaced by per-sample norm or a running-stat-free
-    instance norm: on TPU, cross-replica BatchNorm costs a collective per
-    layer; the reference offers ``sample_norm`` already, and for parity we
-    implement both ``batch_norm`` (sync batch stats via axis) and
-    ``sample_norm``.
+    Norm options mirror the reference: per-sample norm (``SampleNorm``,
+    blocks.py:26-29) or real BatchNorm with running statistics
+    (``nn.BatchNorm1d``, blocks.py:445,461) -- training normalises with
+    batch stats and updates the running averages (``batch_stats``
+    collection, checkpointed with the model state), while eval/streaming
+    uses the frozen running stats, a fixed per-channel affine, so
+    streaming inference is chunk-size invariant.
     """
     data_size: int
     capacity: int
@@ -630,11 +632,10 @@ class EncoderV1(nn.Module):
     def _norm(self, x):
         if self.sample_norm:
             return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-        # instance-norm style normalisation over time (streaming-unsafe,
-        # training only -- like the reference's BatchNorm)
-        mean = jnp.mean(x, axis=(0, 1), keepdims=True)
-        var = jnp.var(x, axis=(0, 1), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        # torch BatchNorm1d defaults: eps 1e-5, momentum 0.1 (flax's
+        # momentum is the running-average retention, so 0.9)
+        return nn.BatchNorm(use_running_average=not self.train_mode,
+                            momentum=0.9, epsilon=1e-5)(x)
 
     @property
     def out_delay(self) -> int:

@@ -166,10 +166,28 @@ def _gan_terms(cfg, disc, dis_params, x, y):
     """
     gan = L.GAN_LOSSES[cfg.gan_loss]
     # run both discriminator passes in the compute dtype: the real-audio
-    # side otherwise stays f32 (batch dtype) and costs ~2x on the MXU
+    # side otherwise stays f32 (batch dtype) and costs ~2x on the MXU.
+    # Real + fake ride ONE batched pass (2B) -- identical math (no batch
+    # coupling in any discriminator), but half the op count and double
+    # the per-conv batch on the small-K spectral chains, which are
+    # occupancy- not FLOP-limited at B=8.
     cdt = jnp.dtype(cfg.compute_dtype)
-    feats_real = disc.apply({"params": dis_params}, x.astype(cdt))
-    feats_fake = disc.apply({"params": dis_params}, y.astype(cdt))
+    B = x.shape[0]
+    both = jnp.concatenate([x.astype(cdt), y.astype(cdt)], axis=0)
+    feats_both = disc.apply({"params": dis_params}, both)
+
+    def _take(f, sl):
+        # feature maps are arrays or packed spectral maps (batch-first
+        # either way)
+        from ..models.discriminators import PackedFeature
+        if isinstance(f, PackedFeature):
+            return f.replace(data=f.data[sl])
+        return f[sl]
+
+    feats_real = [[_take(f, slice(None, B)) for f in chain]
+                  for chain in feats_both]
+    feats_fake = [[_take(f, slice(B, None)) for f in chain]
+                  for chain in feats_both]
     weights = _sub_weights(cfg)
     loss_dis = jnp.float32(0.0)
     loss_adv = jnp.float32(0.0)
@@ -196,11 +214,23 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
 
     bands_x = model.apply(variables, x, method=RAVE.pqmf_forward)
     bands_xp = model.apply(variables, x_p, method=RAVE.pqmf_forward)
-    z_pre = model.apply(variables, x_p, bands_xp, method=RAVE.encode_input,
-                        rngs=rngs)
+    new_state = model_state
+    if "batch_stats" in model_state and cfg.encoder_version == "v1" \
+            and not cfg.v1_sample_norm:
+        # EncoderV1 BatchNorm: training updates the running statistics
+        # (reference nn.BatchNorm1d, blocks.py:445,461); thread the new
+        # stats into this step's output state and downstream applies
+        z_pre, enc_state = model.apply(
+            variables, x_p, bands_xp, method=RAVE.encode_input,
+            rngs=rngs, mutable=["batch_stats"])
+        new_state = {**model_state,
+                     "batch_stats": unfreeze(enc_state["batch_stats"])}
+        variables = {"params": gen_params, **new_state}
+    else:
+        z_pre = model.apply(variables, x_p, bands_xp,
+                            method=RAVE.encode_input, rngs=rngs)
 
     aux = {}
-    new_state = model_state
 
     # CE loss against HuBERT units (fork path, model.py:345-347)
     ce_loss = jnp.float32(0.0)
@@ -232,8 +262,8 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
                           method=RAVE.reparametrize, rngs=rngs,
                           mutable=mutable or False)
         if mutable:
-            (z, reg), new_state = out
-            new_state = {**model_state, **unfreeze(new_state)}
+            (z, reg), rep_state = out
+            new_state = {**new_state, **unfreeze(rep_state)}
         else:
             z, reg = out
         z_dec = z

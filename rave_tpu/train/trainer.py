@@ -64,6 +64,28 @@ class MetricLogger:
         tmp.replace(self.path.parent / "status.json")
 
 
+def make_put(bs, rep, multiprocess=None):
+    """Host batch -> device arrays under the mesh shardings.
+
+    Single-process: plain ``device_put``.  Multi-host DP over DCN: each
+    host contributes its local shard of the global batch via
+    ``make_array_from_process_local_data`` (SURVEY §2.9; the reference
+    has no multi-node path).  ``multiprocess`` is injectable so the
+    multi-host branch is testable on one process."""
+    multi = (jax.process_count() > 1) if multiprocess is None \
+        else multiprocess
+
+    def put(batch):
+        if multi:
+            return {k: jax.make_array_from_process_local_data(
+                        bs if np.asarray(v).ndim else rep, np.asarray(v))
+                    for k, v in batch.items()}
+        return {k: jax.device_put(v, bs if v.ndim else rep)
+                for k, v in batch.items()}
+
+    return put
+
+
 def train_main(args) -> None:
     if getattr(args, "multihost", False):
         # multi-host data parallelism over DCN: same mesh code, the
@@ -184,14 +206,23 @@ def train_main(args) -> None:
     eval_fn = jax.jit(make_eval_step(cfg))
     rng = jax.device_put(jax.random.PRNGKey(1), rep)
 
-    def put(batch):
-        if jax.process_count() > 1:
-            # each host contributes its local shard of the global batch
-            return {k: jax.make_array_from_process_local_data(
-                        bs if v.ndim else rep, np.asarray(v))
-                    for k, v in batch.items()}
-        return {k: jax.device_put(v, bs if v.ndim else rep)
-                for k, v in batch.items()}
+    convert_fn = None
+    if cfg.speaker_embedding_size > 0:
+        # random-pair voice-conversion demo at validation (reference
+        # validation_step logs a conversion sample, model.py:713-731)
+        from ..models.rave import RAVE
+        _conv_model = RAVE(cfg=cfg, train_mode=False)
+
+        @jax.jit
+        def convert_fn(state, src, tgt):
+            variables = {"params": state.gen_params, **state.model_state}
+            return _conv_model.apply(
+                variables, src, tgt, method=RAVE.convert,
+                rngs={"latent": jax.random.PRNGKey(8),
+                      "noise": jax.random.PRNGKey(9),
+                      "quantizer": jax.random.PRNGKey(10)})
+
+    put = make_put(bs, rep)
 
     t0 = time.time()
     window = 50
@@ -223,6 +254,7 @@ def train_main(args) -> None:
             if args.val_every and step and step % args.val_every == 0:
                 vals, zs = [], []
                 demo = None
+                conv_pair = None
                 single = jax.process_count() == 1
                 for vb in val_loader:
                     m, y, z = eval_fn(state, put(enrich(vb)),
@@ -235,6 +267,16 @@ def train_main(args) -> None:
                         if demo is None:
                             demo = (np.asarray(vb["x"][0, :, 0]),
                                     np.asarray(y[0, :, 0]))
+                        if convert_fn is not None and conv_pair is None \
+                                and "speaker" in vb:
+                            # a random cross-speaker pair (reference picks
+                            # two random batch items, model.py:713-720)
+                            spk = np.asarray(vb["speaker"])
+                            js = np.flatnonzero(spk != spk[0])
+                            j = int(js[0]) if len(js) else \
+                                min(1, len(spk) - 1)
+                            conv_pair = (np.asarray(vb["x"][:1]),
+                                         np.asarray(vb["x"][j:j + 1]))
                 if demo is not None and is_main:
                     # audio demos, like the reference's TB/wandb audio
                     # logging (model.py:786-803): original + reconstruction
@@ -250,6 +292,15 @@ def train_main(args) -> None:
                              np.clip(orig, -1, 1), cfg.sampling_rate)
                     save_wav(str(adir / f"step{step}_reconstruction.wav"),
                              np.clip(rec, -1, 1), cfg.sampling_rate)
+                    if convert_fn is not None and conv_pair is not None:
+                        # content of item 0 in the timbre of the random
+                        # other-speaker item (model.py:713-731)
+                        yc = np.asarray(convert_fn(state, conv_pair[0],
+                                                   conv_pair[1]))[0, :, 0]
+                        if ds.integrator is not None:
+                            yc = ds.integrator(yc)
+                        save_wav(str(adir / f"step{step}_conversion.wav"),
+                                 np.clip(yc, -1, 1), cfg.sampling_rate)
                 v = float(np.mean(vals)) if vals else float("nan")
                 if is_main:
                     logger.log(step, {"validation": v})

@@ -102,9 +102,13 @@ def test_cli_voice_conversion_pipeline(workdir):
               "--override", "hubert_units=8",
               "--override", "mr_stft_specs_ms=[[5,25]]",
               "--db_path", str(db), "--name", "vc",
-              "--out_path", str(runs), "--val_every", "0",
+              "--out_path", str(runs), "--val_every", "2",
               "--ckpt_every", "0", "--max_steps", "3"])
     run_dir = next(runs.glob("vc_*"))
+    # validation logs a random-pair conversion demo next to the
+    # reconstruction (reference model.py:713-731)
+    demo_names = [p.name for p in (run_dir / "audio").iterdir()]
+    assert any("conversion" in n for n in demo_names), demo_names
 
     cli_main(["eval", "--run", str(run_dir), "--db_path", str(db),
               "--max_items", "16"])

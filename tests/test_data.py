@@ -160,6 +160,35 @@ def test_units_provider(db):
     assert "units" in ds2[0]
 
 
+def test_hubert_units_provider(db, tmp_path):
+    """Real-HuBERT unit path (reference teacher, rave/model.py:240-241):
+    a LOCAL transformers HubertModel checkpoint -> 50 Hz features ->
+    k-means units, driven through the CLI."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from rave_tpu.cli import main as cli_main
+
+    cfg = transformers.HubertConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=(16,) * 7,
+        do_stable_layer_norm=False, feat_extract_norm="group")
+    ckpt = tmp_path / "hubert_tiny"
+    transformers.HubertModel(cfg).eval().save_pretrained(str(ckpt))
+
+    out, _ = db
+    cli_main(["units", "--db_path", str(out), "--provider", "hubert",
+              "--ckpt", str(ckpt), "--num_units", "8", "--layer", "2"])
+    units = np.load(out / "units.npy")
+    ds = AudioDataset(str(out))
+    assert units.shape[0] == len(ds)
+    assert units.min() >= 0 and units.max() < 8
+    # HuBERT unit rate: 50 Hz at 16 kHz -> frames ~= record_seconds * 50
+    secs = ds.record_len / ds.sr
+    assert abs(units.shape[1] - secs * 50) <= 2, units.shape
+    # the dataset serves them to the CE path
+    assert "units" in ds[0]
+
+
 def test_remote_dataset_http(db):
     from rave_tpu.data.remote import HTTPAudioDataset, serve_dataset
     out, _ = db

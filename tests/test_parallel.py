@@ -136,3 +136,29 @@ def test_time_sharded_encode_ratio():
     np.testing.assert_allclose(np.asarray(z_off[0, hz:-hz]),
                                np.asarray(z_sh[0, hz:-hz]),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_multihost_put_branch():
+    """The multi-host batch `put` path (trainer make_put with
+    multiprocess=True): make_array_from_process_local_data assembles the
+    global batch from per-process shards -- exercised here on a single
+    process so the branch is covered without a cluster
+    (train/trainer.py make_put)."""
+    from rave_tpu.train.trainer import make_put
+
+    mesh = make_mesh(4)
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    batch = {"x": np.arange(4 * 8, dtype=np.float32).reshape(4, 8, 1),
+             "speaker": np.arange(4, dtype=np.int32),
+             "scalar": np.float32(3.0)}
+
+    single = make_put(bs, rep, multiprocess=False)(batch)
+    multi = make_put(bs, rep, multiprocess=True)(batch)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(single[k]),
+                                      np.asarray(multi[k]))
+    assert multi["x"].sharding.is_equivalent_to(bs, 3)
+    # the assembled arrays are consumable by a jitted reduction
+    tot = jax.jit(lambda b: jnp.sum(b["x"]) + jnp.sum(b["speaker"]))(multi)
+    assert float(tot) == float(batch["x"].sum() + batch["speaker"].sum())

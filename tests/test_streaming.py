@@ -28,22 +28,34 @@ def _rngs():
             "quantizer": jax.random.PRNGKey(3)}
 
 
-@pytest.mark.parametrize("stack", [["v2"], ["v2", "causal"]],
-                         ids=["v2", "v2+causal"])
+@pytest.mark.parametrize("stack", [["v2"], ["v2", "causal"], ["v1"],
+                                   ["onnx"], ["raspberry"],
+                                   ["v1", "causal"]],
+                         ids=["v2", "v2+causal", "v1", "onnx", "raspberry",
+                              "v1+causal"])
 def test_full_graph_stream_equiv(stack):
     """Deterministic path: encode (mean latent) -> decode, offline vs
-    chunked streaming with the same params."""
-    cfg = build_config(stack, TINY)
+    chunked streaming with the same params.
+
+    v1/onnx/raspberry cover the EncoderV1 BatchNorm semantics: eval mode
+    uses frozen running stats (a per-channel affine), so streaming output
+    is chunk-size invariant -- the reference's eval-mode BatchNorm1d
+    (``rave/blocks.py:445,461``).  The v1 noise branch is stochastic
+    filtered noise and is disabled for determinism (onnx.gin does the
+    same, reference ``configs/onnx.gin``)."""
+    cfg = build_config(stack, TINY + ["v1_use_noise=false"])
     off = RAVE(cfg=cfg, train_mode=False)
     x = jax.random.normal(jax.random.PRNGKey(7), (1, 16384, 1)) * 0.3
     variables = jax.jit(off.init)(_rngs(), x)
     params = variables["params"]
+    aux = {k: v for k, v in variables.items()
+           if k not in ("params", "cache")}
 
     y_off = jax.jit(lambda v, a: off.apply(
         v, a, rngs={"latent": jax.random.PRNGKey(4)}))(
-        {"params": params}, x)
+        {"params": params, **aux}, x)
 
-    sr = StreamingRAVE(cfg, params, chunk_size=2048)
+    sr = StreamingRAVE(cfg, params, chunk_size=2048, model_state=aux)
     y_str = sr.process_file(np.asarray(x[0, :, 0]))
 
     d = sr.total_delay_samples()
@@ -126,6 +138,30 @@ def test_discrete_indices_streaming_roundtrip():
     assert np.isfinite(y).all()
 
 
+def test_export_uses_trained_aux_state():
+    """Exported serving must carry the TRAINED auxiliary collections
+    (RVQ EMA codebooks, BatchNorm running stats) -- not a fresh init
+    (the reference checkpoints these as module buffers)."""
+    cfg = build_config(["discrete"], TINY + [
+        "capacity=4", "latent_size=8", "num_quantizers=2",
+        "codebook_size=32"])
+    cfg.discriminator.capacity = 4
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, 16384, 1)) * 0.3
+    variables = jax.jit(model.init)(_rngs(), x)
+    trained = {"quantizer": jax.tree.map(
+        lambda a: jnp.full(a.shape, 0.5, a.dtype), variables["quantizer"])}
+    sr = StreamingRAVE(cfg, variables["params"], chunk_size=2048,
+                       model_state=trained)
+    for leaf in jax.tree.leaves(sr.aux_state["quantizer"]):
+        assert np.all(np.asarray(leaf) == 0.5)
+    # decode path actually consumes them (codebook 0.5 everywhere ->
+    # every code decodes identically)
+    idx = sr.encode_indices(np.asarray(x[:, :2048]))
+    y = sr.decode_indices(idx)
+    assert np.isfinite(np.asarray(y)).all()
+
+
 def test_fake_stereo_decode():
     """Fake stereo (reference export.py:322-337): one encoding, the z
     duplicated along batch, the two decodes become the two channels."""
@@ -144,6 +180,71 @@ def test_fake_stereo_decode():
     np.testing.assert_allclose(y[..., 0], y[..., 1], atol=1e-6)
     yf = sr.forward(chunk)
     assert yf.shape == (1, 2048, 2)
+
+
+def test_adain_serving_controls():
+    """The v3 style-transfer workflow driven through the export surface
+    (reference nn~ attributes learn_source/learn_target/reset_*,
+    scripts/export.py:427-479): learn target stats, learn source stats,
+    then stream -- output must differ from the untouched stream and the
+    state updates must stick."""
+    cfg = build_config(["v2", "adain"], TINY)
+    model = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(21), (1, 16384, 1)) * 0.3
+    variables = jax.jit(model.init)(_rngs(), x)
+    params = variables["params"]
+
+    sr = StreamingRAVE(cfg, params, chunk_size=2048)
+    assert sr.has_adain
+    chunk = np.asarray(x[:, :2048])
+
+    # vanilla stream (no learned stats -> AdaIN inactive)
+    y_plain = sr.forward(chunk)
+
+    # learn target statistics from a louder stream
+    sr.reset()
+    sr.set_learn_target(True)
+    sr.forward(np.asarray(x[:, 2048:4096]) * 3.0)
+    n_y = [np.asarray(l) for k, l in _adain_leaves(sr.adain)
+           if k == "num_update_y"]
+    assert all(v > 0 for v in n_y), "target stats did not accumulate"
+    sr.set_learn_target(False)
+
+    # learn source statistics
+    sr.set_learn_source(True)
+    sr.forward(chunk)
+    sr.set_learn_source(False)
+
+    # transfer active: same input now renormalised to the target stats
+    sr.cache = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype),
+                            sr.init_cache)
+    y_transfer = sr.forward(chunk)
+    assert np.isfinite(y_transfer).all()
+    assert not np.allclose(y_transfer, y_plain, atol=1e-5), \
+        "AdaIN transfer had no effect"
+
+    # reset_target clears the accumulated stats
+    sr.reset_target()
+    n_y = [np.asarray(l) for k, l in _adain_leaves(sr.adain)
+           if k == "num_update_y"]
+    assert all(v == 0 for v in n_y)
+
+    # exported artifacts carry the adain state in the step signature
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        out = sr.serialize(td)
+        import json as _json
+        assert _json.loads((out / "meta.json").read_text())["adain"]
+
+
+def _adain_leaves(tree, prefix=""):
+    out = []
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out += _adain_leaves(v, prefix + k + ".")
+        else:
+            out.append((k, v))
+    return out
 
 
 def test_stereo_rejects_adain():

@@ -112,6 +112,30 @@ def test_fork_train_step_with_units_and_speaker():
     assert np.allclose(np.asarray(s0), np.asarray(s1))
 
 
+def test_v1_batchnorm_running_stats_update():
+    """EncoderV1 BatchNorm keeps real running statistics: training steps
+    update the batch_stats collection (reference nn.BatchNorm1d,
+    blocks.py:445,461) and eval consumes the frozen stats."""
+    from rave_tpu.train.loop import make_eval_step
+    cfg = tiny_cfg(["ratios=[2,2,2,2]"], preset="v1")
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    assert "batch_stats" in state.model_state, \
+        "v1 model carries no BatchNorm running stats"
+    bn0 = jax.tree.map(lambda a: np.asarray(a).copy(),
+                       state.model_state["batch_stats"])
+    step = jax.jit(make_train_step(cfg))
+    state, m = step(state, make_batch(cfg), jax.random.PRNGKey(1))
+    bn1 = state.model_state["batch_stats"]
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(jax.tree.leaves(bn0), jax.tree.leaves(bn1)))
+    assert changed, "BatchNorm running stats did not update"
+    assert np.isfinite(float(m["loss_gen_total"]))
+    # eval path (use_running_average) runs and is finite
+    ev = jax.jit(make_eval_step(cfg))
+    vm, y, z = ev(state, make_batch(cfg, 2), jax.random.PRNGKey(3))
+    assert np.isfinite(float(vm["validation"]))
+
+
 def test_ema_weights_track():
     cfg = tiny_cfg(["ema_decay=0.5"])
     state = init_state(cfg, jax.random.PRNGKey(0))
