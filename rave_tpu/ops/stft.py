@@ -24,34 +24,80 @@ def hann_window(win_length: int) -> np.ndarray:
     return (0.5 * (1 - np.cos(2 * np.pi * n / win_length))).astype(np.float32)
 
 
+def _frame_signal_impl(x: jax.Array, frame_length: int,
+                       hop: int) -> jax.Array:
+    """Universal cheap framing: view the signal as ``hop``-sized rows;
+    frame ``k`` is rows ``k .. k+M-1`` concatenated (``M = ceil(L/hop)``,
+    the overlap factor -- always small).  Every hop/L combination is M
+    dense contiguous slices + one concat; the
+    ``conv_general_dilated_patches`` alternative lowers to an
+    identity-kernel L-tap convolution that costs 10-30 ms per MR-STFT
+    scale on TPU (it WAS the fork loss's forward floor)."""
+    *lead, T = x.shape
+    L = frame_length
+    n_frames = (T - L) // hop + 1
+    if n_frames <= 0:
+        raise ValueError(f"signal length {T} shorter than frame {L}")
+    M = -(-L // hop)
+    rows_needed = n_frames + M
+    Tp = rows_needed * hop
+    if Tp > T:
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, Tp - T)])
+    else:
+        x = x[..., :Tp]
+    rows = x.reshape(*lead, rows_needed, hop)
+    ax = len(lead)
+    out = jnp.concatenate(
+        [jax.lax.slice_in_dim(rows, m, m + n_frames, axis=ax)
+         for m in range(M)], axis=-1)
+    return out[..., :L]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     """(..., T) -> (..., n_frames, frame_length).
 
-    When ``hop`` divides ``frame_length`` the frames are assembled from
-    ``frame_length // hop`` shifted views of a ``(T//hop, hop)`` block
-    reshape.  This matters for the backward pass: the VJP of slices is
-    padding (dense, ~ms), whereas the VJP of
-    ``conv_general_dilated_patches`` lowers to a scatter-add that costs
-    ~650 ms per STFT scale on TPU -- it dominated the whole train step.
+    The VJP is a hand-written dense overlap-add: the cotangent of sample
+    ``t`` sums the frame taps that read it, which decomposes into
+    ``ceil(frame_length / hop)`` shifted block adds -- a handful of
+    pad+adds.  The automatic VJP of the general gather/patches framing
+    lowers to a scatter-add that costs ~650 ms per STFT scale on TPU (it
+    dominated the whole train step; the fork's MR-STFT hops 220/441/88
+    all hit it, making the fork gradient 70x its forward).
     """
-    *lead, T = x.shape
-    g = int(np.gcd(frame_length, hop))
-    if frame_length // g <= 32 and T >= frame_length:
-        r = frame_length // g          # blocks per frame
-        hopg = hop // g                # block stride between frames
-        n_frames = (T - frame_length) // hop + 1
-        blocks = x[..., :(T // g) * g].reshape(*lead, T // g, g)
-        ax = len(lead)
-        return jnp.concatenate(
-            [jax.lax.slice_in_dim(blocks, j, j + (n_frames - 1) * hopg + 1,
-                                  stride=hopg, axis=ax)
-             for j in range(r)], axis=-1)
-    x2 = x.reshape(-1, T, 1)
-    patches = jax.lax.conv_general_dilated_patches(
-        x2, filter_shape=(frame_length,), window_strides=(hop,),
-        padding=[(0, 0)], dimension_numbers=("NWC", "WIO", "NWC"))
-    n_frames = patches.shape[1]
-    return patches.reshape(*lead, n_frames, frame_length)
+    return _frame_signal_impl(x, frame_length, hop)
+
+
+def _frame_signal_fwd(x, frame_length, hop):
+    return _frame_signal_impl(x, frame_length, hop), x.shape
+
+
+def _frame_signal_bwd(frame_length, hop, res, gbar):
+    xshape = res
+    xdtype = gbar.dtype  # framing preserves dtype
+    *lead, T = xshape
+    n_frames = gbar.shape[-2]
+    M = -(-frame_length // hop)        # overlapping frames per position
+    Lp = M * hop
+    g2 = gbar.reshape(-1, n_frames, gbar.shape[-1]).astype(jnp.float32)
+    g2 = jnp.pad(g2, ((0, 0), (0, 0), (0, Lp - frame_length)))
+    g2 = g2.reshape(-1, n_frames, M, hop)
+    # frame k, sub-block m lands at block row k + m of a (rows, hop) grid
+    out = jnp.zeros((g2.shape[0], n_frames + M, hop), jnp.float32)
+    for m in range(M):
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out,
+            jax.lax.dynamic_slice_in_dim(out, m, n_frames, axis=1)
+            + g2[:, :, m, :],
+            m, axis=1)
+    flat = out.reshape(g2.shape[0], (n_frames + M) * hop)
+    if flat.shape[-1] < T:
+        flat = jnp.pad(flat, ((0, 0), (0, T - flat.shape[-1])))
+    xbar = flat[:, :T].reshape(*lead, T).astype(xdtype)
+    return (xbar,)
+
+
+frame_signal.defvjp(_frame_signal_fwd, _frame_signal_bwd)
 
 
 def stft(x: jax.Array,
