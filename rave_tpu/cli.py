@@ -68,6 +68,10 @@ def main(argv=None):
                     help="pre-decoded noise corpus dir (from `rave-tpu "
                          "decode_noise`) mixed into the perturbed view at "
                          "14-15 dB SNR (reference rave/dataset.py:233-238)")
+    tr.add_argument("--profile", action="store_true",
+                    help="tick-style section profiler (reference "
+                         "rave/model.py:32-47) + a jax.profiler device "
+                         "trace of steps 10-15 under <run>/profile")
     tr.add_argument("--speaker_ckpt", default=None,
                     help="pretrained torch speaker-encoder checkpoint "
                          "(VoxCeleb ECAPA, __S__.-prefixed keys; reference "

@@ -242,6 +242,15 @@ class AudioDataset:
         self.units = (np.load(units, mmap_mode="r")
                       if units.exists() and self.n_signal == self.record_len
                       else None)
+        if units.exists() and self.units is None:
+            # a smaller random crop can't be aligned with the per-record
+            # unit frames -- the CE loss would silently disappear
+            import warnings
+            warnings.warn(
+                f"{units} exists but n_signal={self.n_signal} != record "
+                f"length {self.record_len}: unit targets are DROPPED and "
+                "the CE loss will be zero. Train with the full record "
+                "length to keep them.", stacklevel=2)
         self.speaker_names = meta.get("speakers", ["0"])
         self.phase_mangle_p = phase_mangle_p
         self.use_dequantize = use_dequantize
@@ -300,7 +309,9 @@ class LazyAudioDataset:
     def __init__(self, audio_root: Optional[str] = None,
                  n_signal: int = 131072, sr: int = 44100,
                  files: Optional[Sequence] = None,
-                 perturb=None, noise=None, seed: int = 0):
+                 perturb=None, noise=None, seed: int = 0,
+                 phase_mangle_p: float = 0.8, use_dequantize: bool = True,
+                 normalize: bool = False, derivative: bool = False):
         if files is not None:
             # (path, length) records from a lazy preprocess db: index
             # without touching the audio
@@ -318,7 +329,14 @@ class LazyAudioDataset:
         self.sr = sr
         self.perturb = perturb
         self.noise = noise
-        self.integrator = None
+        # full transform chain, like the non-lazy path (the reference's
+        # lazy dataset still applies the augmentation chain,
+        # rave/dataset.py:258-289)
+        self.phase_mangle_p = phase_mangle_p
+        self.use_dequantize = use_dequantize
+        self.normalize = normalize
+        self.derivator, self.integrator = (
+            get_derivator_integrator(sr) if derivative else (None, None))
         self.units = None
         self._rng = np.random.default_rng(seed)
         self._index = []
@@ -343,6 +361,14 @@ class LazyAudioDataset:
         x = self._cache[f][c * self.n_signal:(c + 1) * self.n_signal].copy()
         if len(x) < self.n_signal:  # header/probe length over-estimate
             x = np.pad(x, (0, self.n_signal - len(x)))
+        if self.phase_mangle_p > 0 and rng.uniform() < self.phase_mangle_p:
+            x = random_phase_mangle(x, rng, sr=self.sr)
+        if self.use_dequantize:
+            x = dequantize(x, rng)
+        if self.normalize:
+            x = normalize_signal(x)
+        if self.derivator is not None:
+            x = self.derivator(x)
         spk = self.speaker_names.index(f.parent.name)
         item = dict(x=x.astype(np.float32), speaker=np.int32(spk))
         if self.perturb is not None or self.noise is not None:
@@ -359,8 +385,6 @@ def make_dataset(db_path: str, n_signal: Optional[int] = None, **kw):
     ``metadata.yaml``'s lazy flag)."""
     meta = json.loads((Path(db_path) / "meta.json").read_text())
     if meta.get("format") == "lazy_v1":
-        kw.pop("normalize", None)
-        kw.pop("derivative", None)
         return LazyAudioDataset(n_signal=n_signal or meta["n_signal"],
                                 sr=meta["sample_rate"], files=meta["files"],
                                 **kw)

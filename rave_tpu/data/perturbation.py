@@ -217,6 +217,10 @@ def pitch_shift_native(x: np.ndarray, sr: int, pitch_ratio: float = 1.0,
             c = lo + int(np.argmax(xlp[lo:hi]))
         ana.append(c)
     ana = np.asarray(sorted(set(ana)), np.float64)
+    if len(ana) < 2:
+        # a single analysis epoch starves the nearest-epoch mapping below
+        # (clip(nearest, 1, 0)); mirror the unvoiced/short-input fallbacks
+        return x
 
     def target_rate(t):
         f = f0_at(t)

@@ -41,12 +41,29 @@ def log_mel_frames(x: np.ndarray, sr: int, n_fft: int = 1024,
     return np.log1p(mag @ mel.T).astype(np.float32)
 
 
+def _assign(X: np.ndarray, cb: np.ndarray,
+            block: int = 16384) -> np.ndarray:
+    """Nearest-codebook assignment via the GEMM identity
+    ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c -- never materialises the
+    (N, k, D) difference tensor (HuBERT features are D=768; the naive
+    broadcast is ~9 GB per iteration at a 30k-frame corpus)."""
+    cn = (cb ** 2).sum(-1)
+    out = np.empty(len(X), np.int64)
+    for s in range(0, len(X), block):
+        xb = X[s:s + block]
+        d = cn[None, :] - 2.0 * (xb @ cb.T)  # + ||x||^2, constant per row
+        out[s:s + block] = d.argmin(1)
+    return out
+
+
 def _kmeans(X: np.ndarray, k: int, iters: int,
-            rng: np.random.Generator) -> np.ndarray:
+            rng: np.random.Generator,
+            max_frames: int = 200_000) -> np.ndarray:
+    if len(X) > max_frames:
+        X = X[rng.permutation(len(X))[:max_frames]]
     cb = X[rng.permutation(len(X))[:k]].copy()
     for _ in range(iters):
-        d = ((X[:, None] - cb[None]) ** 2).sum(-1)
-        a = d.argmin(1)
+        a = _assign(X, cb)
         for j in range(k):
             m = a == j
             if m.any():

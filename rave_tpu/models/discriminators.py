@@ -478,9 +478,23 @@ class UnivNetResolutionDiscriminator(nn.Module):
     ``resolution`` is (hop_ms, win_ms); the reference hard-codes
     ``sampling_rate = 16000`` for the ms->samples conversion even though
     the fork feeds 44.1 kHz audio (``rave/mrd.py:14``) -- kept for parity.
+
+    The spectrogram rides in frequency-major orientation (B, F, T, C) --
+    kernels (9, 3), stride on the leading F axis -- so ``packed=True``
+    (default) runs the whole stack through the same packed-resident chain
+    as the Encodec discriminator (frequency rows folded into channels,
+    one conv per layer): natively these 32-channel convs tile at <10% MXU
+    and dominated the v2_fork step (132 ms of 312, profile 2026-08-20).
+    The math is identical to the reference's (3, 9)/time-major convs --
+    the axes are just transposed, which no loss consumes (means over
+    feature maps are orientation-invariant).
     """
     resolution: tuple
     sampling_rate: int = 16000
+    packed: bool = True
+
+    # (kh on F, kw on T, stride on F) -- reference mrd.py convs
+    SPECS = ((9, 3, 1), (9, 3, 2), (9, 3, 2), (9, 3, 2), (3, 3, 1))
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
@@ -494,19 +508,40 @@ class UnivNetResolutionDiscriminator(nn.Module):
         sig = jnp.pad(sig, ((0, 0), (pad, pad)), mode="reflect")
         s = stft(sig, n_fft, hop, win_length=win, center=False)
         mag = jnp.abs(s)  # (B, frames, bins)
-        z = mag[..., None].astype(sig.dtype)  # (B, T', F, 1)
+        z = mag.transpose(0, 2, 1)[..., None].astype(sig.dtype)  # (B,F,T,1)
 
         feats = []
-        for i in range(4):
-            stride = (1, 1) if i == 0 else (1, 2)
-            z = WNConv(features=32, kernel_size=(3, 9), strides=stride,
-                       padding=[(1, 1), (4, 4)])(z)
+        if self.packed:
+            p, F, o = 8, z.shape[1], 0
+            a = pack_rows(z, p)
+            ci = 1
+            for i, (kh, kw, sh) in enumerate(self.SPECS):
+                ph, pw = (kh - 1) // 2, (kw - 1) // 2
+                dummy = jnp.zeros((1, 1, 1, ci), z.dtype)
+                w, b = WNConv(features=32, kernel_size=(kh, kw),
+                              strides=(sh, 1),
+                              padding=[(ph, ph), (pw, pw)],
+                              mode="kernel")(dummy)
+                a, p, F, o = _packed_chain_layer(a, w, b, p, F, o, sh, 1,
+                                                 ph, pw, lrelu_slope=0.2)
+                feats.append(a if p == 1 and o == 0
+                             else PackedFeature(a, valid_rows=F, pout=p,
+                                                offset=o))
+                ci = 32
+            dummy = jnp.zeros((1, 1, 1, ci), z.dtype)
+            w, b = WNConv(features=1, kernel_size=(3, 3),
+                          padding=[(1, 1), (1, 1)], mode="kernel")(dummy)
+            a, p, F, o = _packed_chain_layer(a, w, b, p, F, o, 1, 1, 1, 1,
+                                             lrelu_slope=None)
+            assert p == 1 and o == 0
+            feats.append(a)
+            return feats
+        for kh, kw, sh in self.SPECS:
+            ph, pw = (kh - 1) // 2, (kw - 1) // 2
+            z = WNConv(features=32, kernel_size=(kh, kw), strides=(sh, 1),
+                       padding=[(ph, ph), (pw, pw)])(z)
             z = nn.leaky_relu(z, 0.2)
             feats.append(z)
-        z = WNConv(features=32, kernel_size=(3, 3),
-                   padding=[(1, 1), (1, 1)])(z)
-        z = nn.leaky_relu(z, 0.2)
-        feats.append(z)
         z = WNConv(features=1, kernel_size=(3, 3), padding=[(1, 1), (1, 1)])(z)
         feats.append(z)
         return feats
@@ -518,13 +553,15 @@ class UnivNetDiscriminator(nn.Module):
     one feature list per sub-discriminator, score last."""
     resolutions: Sequence[tuple] = ((5, 25), (10, 50), (2, 10))
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
         out = []
         for i, res in enumerate(self.resolutions):
             out.append(UnivNetResolutionDiscriminator(
-                resolution=tuple(res), name=f"mrd{i}")(x))
+                resolution=tuple(res), packed=self.packed,
+                name=f"mrd{i}")(x))
         for i, p in enumerate(self.periods):
             out.append(UnivNetPeriodDiscriminator(period=p,
                                                   name=f"mpd{i}")(x))

@@ -192,7 +192,11 @@ class RAVE(nn.Module):
             self.pqmf = None
 
         if cfg.speaker_embedding_size > 0:
-            self.speaker_encoder = SpeakerRAVE()
+            # fine-tuned-from-scratch speaker encoders need their BNs in
+            # training mode (see SpeakerRAVE.train_bn); frozen pretrained
+            # use keeps running averages (reference model.py:351-353)
+            self.speaker_encoder = SpeakerRAVE(
+                train_bn=cfg.train_speaker_encoder and self.train_mode)
         else:
             self.speaker_encoder = None
 

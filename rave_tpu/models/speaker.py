@@ -45,8 +45,15 @@ def _max_pool_1d(x: jax.Array, window: int = 2) -> jax.Array:
 
 
 class SpeakerRAVE(nn.Module):
-    """Input: PQMF bands (B, T/M, 16). Output: (B, 256) embedding."""
+    """Input: PQMF bands (B, T/M, 16). Output: (B, 256) embedding.
+
+    ``train_bn=True`` runs the two BatchNorms in training mode (batch
+    statistics + running-stat updates) -- required when the encoder is
+    fine-tuned from random init (``cfg.train_speaker_encoder``), where
+    frozen running stats would stay at the mean-0/var-1 init forever and
+    the BNs would normalize against meaningless statistics."""
     ss: StreamSetup = StreamSetup()
+    train_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -78,7 +85,8 @@ class SpeakerRAVE(nn.Module):
              jnp.broadcast_to(std, z.shape)], axis=-1)
         w = Conv1d(features=128, kernel_size=1, name="attn1")(glob)
         w = nn.relu(w)
-        w = nn.BatchNorm(use_running_average=True, name="attn_bn")(w)
+        w = nn.BatchNorm(use_running_average=not self.train_bn,
+                         name="attn_bn")(w)
         w = Conv1d(features=768, kernel_size=1, name="attn2")(w)
         w = jax.nn.softmax(w, axis=1)
 
@@ -86,5 +94,6 @@ class SpeakerRAVE(nn.Module):
         sg = jnp.sqrt(jnp.clip(jnp.sum(z ** 2 * w, axis=1) - mu ** 2,
                                1e-4, 1e4))
         e = jnp.concatenate([mu, sg], axis=-1)
-        e = nn.BatchNorm(use_running_average=True, name="bn5")(e)
+        e = nn.BatchNorm(use_running_average=not self.train_bn,
+                         name="bn5")(e)
         return nn.Dense(256, name="fc6")(e)

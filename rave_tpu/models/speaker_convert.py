@@ -163,12 +163,18 @@ def install_speaker_weights(state, params: dict, stats: dict):
             raise ValueError(
                 f"{where}: {len(src_leaves)} converted leaves vs "
                 f"{len(dst_leaves)} model leaves")
-        return jax.tree.map(
-            lambda d, s: np.asarray(s, np.float32).reshape(d.shape)
-            if d.shape == s.shape or d.size == s.size
-            else (_ for _ in ()).throw(ValueError(
-                f"{where}: shape {s.shape} vs model {d.shape}")),
-            dst, src)
+        # exact shape equality only: the converter above already applies
+        # every needed transposition, so a size-match-but-shape-mismatch
+        # leaf is a layout bug (e.g. an untransposed (out,in) matrix) that
+        # a reshape would silently scramble into the model
+        def _one(d, s):
+            s = np.asarray(s, np.float32)
+            if d.shape != s.shape:
+                raise ValueError(
+                    f"{where}: converted shape {s.shape} vs model "
+                    f"{d.shape} (layout mismatch; refusing to reshape)")
+            return s
+        return jax.tree.map(_one, dst, src)
 
     gen = dict(state.gen_params)
     gen["speaker_encoder"] = _match(gen["speaker_encoder"], params,

@@ -252,7 +252,18 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
         z = z_pre
         reg = jnp.float32(0.0)
         z_dec = jax.lax.stop_gradient(z)
-        emb = model.apply(variables, bands_x, method=RAVE.speaker_embedding)
+        if cfg.train_speaker_encoder and "batch_stats" in new_state:
+            # training-mode speaker BNs update running stats (see
+            # SpeakerRAVE.train_bn)
+            emb, spk_state = model.apply(
+                variables, bands_x, method=RAVE.speaker_embedding,
+                mutable=["batch_stats"])
+            new_state = {**new_state,
+                         "batch_stats": unfreeze(spk_state["batch_stats"])}
+            variables = {"params": gen_params, **new_state}
+        else:
+            emb = model.apply(variables, bands_x,
+                              method=RAVE.speaker_embedding)
         emb = jnp.broadcast_to(emb[:, None, :],
                                (z.shape[0], z.shape[1], emb.shape[-1]))
         z_dec = jnp.concatenate([z_dec, emb], axis=-1)

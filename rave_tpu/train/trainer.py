@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 from pathlib import Path
 
 import os
@@ -84,6 +85,16 @@ def make_put(bs, rep, multiprocess=None):
                 for k, v in batch.items()}
 
     return put
+
+
+def ema_eval_view(cfg, state):
+    """Validation (and therefore best-checkpoint selection, audio demos,
+    and the conversion demo) runs on the EMA shadow weights when EMA is
+    enabled -- the reference's EMA callback swaps them in around
+    validation (``scripts/train.py:64-103``)."""
+    if cfg.ema_decay and state.ema_params is not None:
+        return state.replace(gen_params=state.ema_params)
+    return state
 
 
 def train_main(args) -> None:
@@ -223,6 +234,19 @@ def train_main(args) -> None:
                       "quantizer": jax.random.PRNGKey(10)})
 
     put = make_put(bs, rep)
+    eval_view = partial(ema_eval_view, cfg)
+
+    # --profile: tick-style section profiler (reference Profiler,
+    # rave/model.py:32-47 / Lightning profiler="simple",
+    # scripts/train.py:214) + a jax.profiler device trace of steps 10-15
+    # written under <run>/profile for TensorBoard/xprof
+    prof = None
+    if getattr(args, "profile", False):
+        from ..utils.profiler import Sections
+        prof = Sections()
+    from contextlib import nullcontext
+    sec = (lambda name, *a: prof(name, *a)) if prof else \
+        (lambda name, *a: nullcontext())
 
     t0 = time.time()
     window = 50
@@ -237,7 +261,20 @@ def train_main(args) -> None:
             if step >= cfg.max_steps:
                 done = True
                 break
-            state, metrics = step_fn(state, put(enrich(batch)), rng)
+            if prof is not None and step == 10:
+                jax.profiler.start_trace(str(run_dir / "profile"))
+            with sec("put"):
+                dbatch = put(enrich(batch))
+            with sec("step"):
+                state, metrics = step_fn(state, dbatch, rng)
+            if prof is not None:
+                # per-step sync so section times are true wall clock (the
+                # reference's Profiler ticks are synchronous CUDA time)
+                with sec("sync"):
+                    jax.block_until_ready(metrics)
+            if prof is not None and step == 15:
+                jax.profiler.stop_trace()
+                print(f"device trace: {run_dir / 'profile'}")
 
             if step % window == 0:
                 jax.block_until_ready(metrics)
@@ -250,14 +287,17 @@ def train_main(args) -> None:
                     print(f"step {step} "
                           + " ".join(f"{k}={float(v):.4f}"
                                      for k, v in metrics.items()))
+                    if prof is not None and step:
+                        print(prof)
 
             if args.val_every and step and step % args.val_every == 0:
                 vals, zs = [], []
                 demo = None
                 conv_pair = None
                 single = jax.process_count() == 1
+                est = eval_view(state)
                 for vb in val_loader:
-                    m, y, z = eval_fn(state, put(enrich(vb)),
+                    m, y, z = eval_fn(est, put(enrich(vb)),
                                       jax.random.PRNGKey(2))
                     vals.append(float(m["validation"]))
                     if single:
@@ -295,7 +335,7 @@ def train_main(args) -> None:
                     if convert_fn is not None and conv_pair is not None:
                         # content of item 0 in the timbre of the random
                         # other-speaker item (model.py:713-731)
-                        yc = np.asarray(convert_fn(state, conv_pair[0],
+                        yc = np.asarray(convert_fn(est, conv_pair[0],
                                                    conv_pair[1]))[0, :, 0]
                         if ds.integrator is not None:
                             yc = ds.integrator(yc)
@@ -317,6 +357,12 @@ def train_main(args) -> None:
                 ckpt.save(state)
             step += 1
 
+    if prof is not None:
+        try:  # run shorter than the trace window: close it out
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
+        print(prof)
     ckpt.save(state)
     ckpt.wait()
     if is_main:

@@ -1,3 +1,4 @@
+from pathlib import Path
 """Data pipeline: preprocess -> memmap store -> loader round trip."""
 import numpy as np
 import pytest
@@ -225,3 +226,62 @@ def test_dataloader_pool_matches_serial(db):
     for ba, bb in zip(a, b):
         for k in ba:
             np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_lazy_dataset_applies_transform_chain(tmp_path):
+    """The lazy dataset applies the same augmentation chain as the record
+    store (reference rave/dataset.py:258-289): phase mangle, dequantize,
+    normalize, derivative."""
+    from rave_tpu.data.dataset import LazyAudioDataset, make_dataset
+    root = tmp_path / "audio"
+    d = root / "spk"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    x = 0.01 * rng.standard_normal(4096 * 2).astype(np.float32)
+    save_wav(d / "a.wav", x, 16000)
+    out = tmp_path / "db"
+    preprocess(str(root), str(out), n_signal=4096, sample_rate=16000,
+               lazy=True)
+    ds = make_dataset(str(out), normalize=True, derivative=True)
+    assert isinstance(ds, LazyAudioDataset)
+    assert ds.integrator is not None  # derivative mode paired inverse
+    item = ds.get(0, np.random.default_rng(1))
+    # normalize lifts the quiet 0.01-peak signal toward the +30 dB cap;
+    # combined with phase-mangle/dequantize/derivative the item cannot
+    # equal the raw chunk
+    assert item["x"].shape == (4096,)
+    assert not np.allclose(item["x"], x[:4096], atol=1e-4)
+    # deterministic under a fixed rng
+    again = ds.get(0, np.random.default_rng(1))
+    assert np.array_equal(item["x"], again["x"])
+    # transforms are individually disengageable like AudioDataset
+    plain = LazyAudioDataset(files=[{"path": str(d / "a.wav"),
+                                     "length": 8192}],
+                             n_signal=4096, sr=16000, phase_mangle_p=0.0,
+                             use_dequantize=False)
+    it = plain.get(0, np.random.default_rng(2))
+    assert np.allclose(it["x"], x[:4096], atol=1e-4)
+
+
+def test_units_dropped_warning(db, tmp_path):
+    """units.npy next to the store but an incompatible crop length must
+    warn loudly instead of silently dropping the CE targets."""
+    import warnings
+    from rave_tpu.data.dataset import AudioDataset
+    db_path, meta = db
+    np.save(Path(db_path) / "units.npy",
+            np.zeros((meta["count"], 10), np.int32))
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ds = AudioDataset(db_path, n_signal=meta["n_signal"] // 2)
+        assert ds.units is None
+        assert any("DROPPED" in str(x.message) for x in w)
+        # full-length crop keeps them silently
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            ds2 = AudioDataset(db_path)
+        assert ds2.units is not None
+        assert not any("DROPPED" in str(x.message) for x in w2)
+    finally:
+        (Path(db_path) / "units.npy").unlink()

@@ -145,3 +145,25 @@ def test_mean_difference_on_packed_features(norm, relative):
     got = mean_difference(pa, pb, norm, relative)
     np.testing.assert_allclose(float(got), float(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_univnet_mrd_packed_parity():
+    """The packed-resident UnivNet MRD (reference rave/mrd.py:8-88)
+    shares a param tree with the native formulation and produces the
+    same features (it reuses the Encodec packed chain over the
+    frequency-major spectrogram)."""
+    from rave_tpu.models.discriminators import UnivNetResolutionDiscriminator
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 8192, 1)) * 0.3
+    d_p = UnivNetResolutionDiscriminator(resolution=(5, 25), packed=True)
+    d_n = UnivNetResolutionDiscriminator(resolution=(5, 25), packed=False)
+    params = d_p.init(jax.random.PRNGKey(9), x)
+    params_n = d_n.init(jax.random.PRNGKey(9), x)
+    assert jax.tree.structure(params) == jax.tree.structure(params_n)
+    feats_p = d_p.apply(params, x)
+    feats_n = d_n.apply(params, x)
+    assert len(feats_p) == len(feats_n) == 6
+    for a, b in zip(feats_p, feats_n):
+        a = _unpack(a)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

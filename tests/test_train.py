@@ -267,3 +267,23 @@ def test_wasserstein_noise_aug_roundtrip_and_train():
     assert z.shape[-1] == cfg.latent_size  # raw latent, no noise channels
     y = model.apply(variables, z, method=RAVE.decode, rngs=rngs)
     assert y.shape == x.shape
+
+
+def test_ema_eval_view_swaps_weights():
+    """Validation/best-ckpt selection runs on EMA shadow weights when EMA
+    is enabled (reference scripts/train.py:64-103 swaps EMA weights in
+    around validation)."""
+    from rave_tpu.train.trainer import ema_eval_view
+    cfg = tiny_cfg(["ema_decay=0.5"])
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    state, _ = step(state, make_batch(cfg), jax.random.PRNGKey(1))
+    view = ema_eval_view(cfg, state)
+    assert view is not state
+    e = np.asarray(jax.tree.leaves(state.ema_params)[0])
+    v = np.asarray(jax.tree.leaves(view.gen_params)[0])
+    assert np.array_equal(e, v)
+    # without EMA the view is a pass-through
+    cfg2 = tiny_cfg([])
+    state2 = init_state(cfg2, jax.random.PRNGKey(0))
+    assert ema_eval_view(cfg2, state2) is state2
