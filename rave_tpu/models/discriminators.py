@@ -92,13 +92,38 @@ class WNConv(nn.Module):
         if self.mode == "kernel":
             return (kernel.astype(dtype),
                     None if bias is None else bias.astype(dtype))
+        groups = self.groups
+        kernel = kernel.astype(dtype)
+        if groups > 1:
+            # SUPERGROUPING: XLA's grouped-conv lowering splits the
+            # channel axis into (groups, ch/group) with ch/group as the
+            # minor dim -- at the MelGAN ladder's 4-channel groups that
+            # is a T(4,128) tiling using 4 of 128 lanes, measured at
+            # ~17 GB/s / <1% MXU in the v2_fork step.  Merging groups
+            # into supergroups of ~128 output channels with an exact
+            # block-diagonal kernel trades <=8x redundant FLOPs (still
+            # far below the MXU floor) for full-lane tiling: the
+            # stack0-shaped fwd+bwd probe ran 1.75-2.5x faster
+            # (docs/benchmarks.md round 3).
+            og = self.features // groups
+            sgf = max(1, min(groups, 128 // max(og, 1)))
+            if sgf > 1:
+                nd_k = kernel.ndim - 2
+                cg = kernel.shape[-2]
+                o = np.arange(self.features)
+                mask = ((o[None, :] // og) % sgf
+                        == np.arange(sgf)[:, None]).astype(np.float32)
+                m = jnp.asarray(mask, dtype)                 # (sgf, Co)
+                kernel = (kernel[..., None, :, :] * m[:, None, :]) \
+                    .reshape(*kernel.shape[:nd_k], sgf * cg, self.features)
+                groups = groups // sgf
         y = jax.lax.conv_general_dilated(
-            x, kernel.astype(dtype),
+            x, kernel,
             window_strides=strides,
             padding=list(padding),
             rhs_dilation=dilation,
             dimension_numbers=spec,
-            feature_group_count=self.groups,
+            feature_group_count=groups,
             preferred_element_type=dtype,
         )
         if bias is not None:
