@@ -107,6 +107,10 @@ def main(argv=None):
 
     st = sub.add_parser("speaker_stats", help="per-speaker f0 statistics")
     st.add_argument("--db_path", required=True)
+    st.add_argument("--pitch_ckpt", default="",
+                    help="torchfcpe checkpoint: compute stats with the "
+                         "converted FCPE neural estimator (the reference's "
+                         "speaker_stats_fcpe.json recipe); default YIN")
     st.add_argument("--out", default=None,
                     help="output json; default <db_path>/"
                          "speaker_stats.json (where train looks)")
@@ -163,7 +167,8 @@ def main(argv=None):
         from .data.pitch import compute_speaker_stats
         ds = AudioDataset(args.db_path)
         out = args.out or str(Path(args.db_path) / "speaker_stats.json")
-        stats = compute_speaker_stats(ds, out)
+        stats = compute_speaker_stats(
+            ds, out, pitch_ckpt=getattr(args, "pitch_ckpt", ""))
         print(json.dumps(stats, indent=2))
     elif args.command == "units":
         from .data.dataset import AudioDataset

@@ -119,6 +119,12 @@ class RAVEConfig:
     pitch_hop: int = 1024             # f0 frame hop (export.py:352: 1024)
     pitch_fmin: float = 50.0          # FCPE bounds (pitch_utils.py:139-140)
     pitch_fmax: float = 550.0
+    # f0 estimator: "fcpe" = the reference's neural pitch model
+    # (rave/pitch_utils.py:133-143, torchfcpe) converted to JAX
+    # (models/pitch_fcpe.py) -- needs pitch_ckpt, else falls back to the
+    # in-graph YIN with a warning; "yin" = in-graph YIN always
+    pitch_estimator: str = "fcpe"
+    pitch_ckpt: str = ""              # torchfcpe checkpoint path
 
     # discriminator + GAN
     discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
@@ -179,7 +185,10 @@ class RAVEConfig:
     # are absl flags, not gin config (scripts/train.py:34-48), so changing
     # them must not change the run hash (else --resume silently forks a
     # fresh run dir)
-    _RUN_LEVEL_FIELDS = ("max_steps", "batch_size", "n_signal")
+    # pitch_ckpt is a host path to frozen weights: same weights live at
+    # different paths across machines, so it must not fork the run hash
+    _RUN_LEVEL_FIELDS = ("max_steps", "batch_size", "n_signal",
+                         "pitch_ckpt")
 
     def hash(self) -> str:
         d = dataclasses.asdict(self)

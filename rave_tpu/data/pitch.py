@@ -93,9 +93,21 @@ def f0_norm(f0: np.ndarray, median: float, std: float) -> np.ndarray:
 
 
 def compute_speaker_stats(dataset, out_json: str,
-                          max_items_per_speaker: int = 50) -> dict:
+                          max_items_per_speaker: int = 50,
+                          pitch_ckpt: str = "") -> dict:
     """Per-speaker log-f0 median/std json (reference
-    ``pitch_utils.py:180-258`` writing ``speaker_stats_fcpe.json``)."""
+    ``pitch_utils.py:180-258`` writing ``speaker_stats_fcpe.json``).
+
+    ``pitch_ckpt``: use the converted FCPE neural estimator (the
+    reference computes these stats with FCPE); default YIN."""
+    fcpe_fn = None
+    if pitch_ckpt:
+        import jax.numpy as jnp
+        from ..models.pitch_fcpe import fcpe_f0, get_fcpe_params
+        params = get_fcpe_params(pitch_ckpt)
+        if params is not None:
+            fcpe_fn = lambda x: np.asarray(
+                fcpe_f0(params, jnp.asarray(x)[None], dataset.sr)[0])
     per_speaker: dict[str, list] = {}
     counts: dict[str, int] = {}
     for i in range(len(dataset)):
@@ -104,7 +116,8 @@ def compute_speaker_stats(dataset, out_json: str,
         if counts.get(name, 0) >= max_items_per_speaker:
             continue
         counts[name] = counts.get(name, 0) + 1
-        f0 = yin_f0(item["x"], dataset.sr)
+        f0 = (fcpe_fn(item["x"]) if fcpe_fn is not None
+              else yin_f0(item["x"], dataset.sr))
         v = f0[f0 > 0]
         if len(v):
             per_speaker.setdefault(name, []).extend(np.log(v).tolist())

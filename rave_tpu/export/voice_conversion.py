@@ -112,9 +112,20 @@ class VoiceConverter:
                                      np.float32)
             self._z_frames = chunk_size // cfg.total_ratio()
             self._logf0: list = []
-            self._f0_fn = jax.jit(lambda xc: yin_f0(
-                xc, cfg.sampling_rate, self._f0_frame, self._f0_hop,
-                cfg.pitch_fmin, cfg.pitch_fmax))
+            fcpe = None
+            if cfg.pitch_estimator == "fcpe":
+                # serving uses the same estimator the model trained with
+                # (reference myforward extracts f0 via FCPE, export.py:349)
+                from ..models.pitch_fcpe import fcpe_f0, get_fcpe_params
+                fcpe = get_fcpe_params(cfg.pitch_ckpt)
+            if fcpe is not None:
+                self._f0_fn = jax.jit(lambda xc: fcpe_f0(
+                    fcpe, xc, cfg.sampling_rate,
+                    out_frames=max(1, xc.shape[1] // self._f0_hop)))
+            else:
+                self._f0_fn = jax.jit(lambda xc: yin_f0(
+                    xc, cfg.sampling_rate, self._f0_frame, self._f0_hop,
+                    cfg.pitch_fmin, cfg.pitch_fmax))
 
     def _pitch_feature(self, x_chunk: np.ndarray) -> jnp.ndarray:
         """(1, Tz, C) normalised-f0 feature for one block."""

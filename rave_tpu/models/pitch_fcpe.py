@@ -346,3 +346,26 @@ def convert_fcpe_checkpoint(path: str) -> dict:
                     "bias": take(f"{base}.6.bias", (HIDDEN,))},
         })
     return p
+
+
+_PARAM_CACHE: dict = {}
+
+
+def get_fcpe_params(path: str) -> Optional[dict]:
+    """Load-and-convert a torchfcpe checkpoint once per process; the
+    params tree becomes trace-time constants of whatever graph calls
+    :func:`fcpe_f0` (frozen teacher -- never trained, never saved).
+    Returns None (with a one-time warning) when the path is empty or
+    missing, signalling the YIN fallback."""
+    if not path:
+        return None
+    if path not in _PARAM_CACHE:
+        import os
+        import warnings
+        if not os.path.exists(path):
+            warnings.warn(f"pitch_ckpt {path!r} not found: falling back "
+                          "to the in-graph YIN estimator", stacklevel=2)
+            _PARAM_CACHE[path] = None
+        else:
+            _PARAM_CACHE[path] = convert_fcpe_checkpoint(path)
+    return _PARAM_CACHE[path]

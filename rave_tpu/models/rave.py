@@ -310,7 +310,9 @@ class RAVE(nn.Module):
         feat = pitch_feature(x, z.shape[1], cfg.sampling_rate,
                              hop=cfg.pitch_hop, fmin=cfg.pitch_fmin,
                              fmax=cfg.pitch_fmax,
-                             channels=cfg.pitch_embedding_size)
+                             channels=cfg.pitch_embedding_size,
+                             estimator=cfg.pitch_estimator,
+                             fcpe_ckpt=cfg.pitch_ckpt)
         return jnp.concatenate([z, feat], axis=-1)
 
     def decode(self, z: jax.Array, rng: Optional[jax.Array] = None):

@@ -138,14 +138,28 @@ def pitch_feature(x: jax.Array, out_frames: int, sr: int,
                   hop: int = 1024, fmin: float = 50.0, fmax: float = 550.0,
                   median: jax.Array | None = None,
                   std: jax.Array | None = None,
-                  channels: int = 1) -> jax.Array:
+                  channels: int = 1, estimator: str = "yin",
+                  fcpe_ckpt: str = "") -> jax.Array:
     """Audio (B, T, 1) -> decoder pitch conditioning (B, out_frames, C).
 
     One call covering the fork's serving composition
     (``export.py:349-359``: extract f0, normalise by utterance stats,
     concat to the latent).  Pass ``median``/``std`` to use external
-    (speaker-level) statistics instead of per-utterance ones."""
-    f0 = yin_f0(x[..., 0], sr, hop=hop, fmin=fmin, fmax=fmax)
+    (speaker-level) statistics instead of per-utterance ones.
+
+    ``estimator="fcpe"`` + a ``fcpe_ckpt`` path uses the converted FCPE
+    neural pitch model in-graph (the reference's operative estimator,
+    ``pitch_utils.py:133-143``); missing checkpoint falls back to YIN
+    with a one-time warning."""
+    f0 = None
+    if estimator == "fcpe":
+        from ..models.pitch_fcpe import fcpe_f0, get_fcpe_params
+        params = get_fcpe_params(fcpe_ckpt)
+        if params is not None:
+            n_frames = max(1, x.shape[1] // hop)
+            f0 = fcpe_f0(params, x[..., 0], sr, out_frames=n_frames)
+    if f0 is None:
+        f0 = yin_f0(x[..., 0], sr, hop=hop, fmin=fmin, fmax=fmax)
     if median is None or std is None:
         med_u, std_u = voiced_log_stats(f0)
         median = med_u if median is None else median

@@ -290,7 +290,8 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
             x, z_dec.shape[1], cfg.sampling_rate, hop=cfg.pitch_hop,
             fmin=cfg.pitch_fmin, fmax=cfg.pitch_fmax,
             median=batch.get("f0_median"), std=batch.get("f0_std"),
-            channels=cfg.pitch_embedding_size)
+            channels=cfg.pitch_embedding_size,
+            estimator=cfg.pitch_estimator, fcpe_ckpt=cfg.pitch_ckpt)
         z_dec = jnp.concatenate([z_dec, jax.lax.stop_gradient(feat)],
                                 axis=-1)
 
