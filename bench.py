@@ -144,14 +144,16 @@ def bench_stream_decode(n_chunks: int = 50, chunk: int = 4096):
         sync(y)
         return time.perf_counter() - t0
 
-    # per-chunk time is sub-ms, so a single differential is at the mercy
-    # of tunnel jitter (can even go negative): repeat and keep the best
-    # POSITIVE differential; fall back to the absolute 2N window if every
-    # differential drowns in noise
+    # LATENCY-mode RTF (per-chunk dispatch).  Per-chunk time is sub-ms,
+    # so a single differential is at the mercy of tunnel jitter (can even
+    # go negative): pinned methodology (docs/benchmarks.md) = N>=10
+    # repeats, best positive differential.  The throughput number of
+    # record is the scan-mode RTF below; this one quantifies the
+    # dispatch-per-block serving path.
     audio_seconds = n_chunks * chunk / cfg.sampling_rate
     diffs = []
     t2 = None
-    for _ in range(3):
+    for _ in range(10):
         t1 = run(n_chunks)
         t2 = run(2 * n_chunks)
         diffs.append(t2 - t1)
@@ -160,7 +162,7 @@ def bench_stream_decode(n_chunks: int = 50, chunk: int = 4096):
     how = (f"best-of-{len(diffs)} differential" if pos
            else "absolute window FALLBACK (all differentials <= 0; "
                 "includes constant drain/fetch offsets)")
-    log(f"decode RTF {rtf:.5f} ({chunk}-sample chunks, {how})")
+    log(f"decode RTF {rtf:.5f} latency mode ({chunk}-sample chunks, {how})")
 
     # offline throughput mode: the whole chunk loop as one lax.scan
     # program -- one dispatch per clip, not per chunk
@@ -221,8 +223,12 @@ def main():
         "extras": {
             "v2_fork_train_steps_per_s": (round(fork_steps, 4)
                                           if fork_steps else None),
-            "stream_decode_rtf": round(rtf, 5) if rtf else None,
-            "scan_decode_rtf": round(scan_rtf, 5) if scan_rtf else None,
+            # scan = THROUGHPUT number of record (one dispatch per clip);
+            # stream = latency mode (per-chunk dispatch, best-of-10
+            # differential -- pinned methodology, docs/benchmarks.md)
+            "stream_decode_rtf_latency": round(rtf, 5) if rtf else None,
+            "scan_decode_rtf_throughput": (round(scan_rtf, 5)
+                                           if scan_rtf else None),
             "train_shape": shape,
             "device": str(jax.devices()[0]),
         },

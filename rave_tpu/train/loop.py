@@ -359,14 +359,21 @@ def receptive_field_frames(cfg: RAVEConfig) -> tuple[int, int]:
     # side vs rf=1041 without them).  A 9/8 margin on top covers the
     # remainder (validated against utils.receptive_field in
     # tests/test_train.py).
+    pq_right = 0
     if cfg.n_band > 1:
         from ..ops.pqmf import _pqmf_kernels
         Ha, pad_a, Hs, pad_s = _pqmf_kernels(cfg.pqmf_attenuation,
                                              cfg.n_band)
         rf += Ha.shape[0] + Hs.shape[0]
+        # the offline PQMF is centered even in causal configs (its
+        # streaming form carries the delay in the cache instead), so its
+        # right padding is a real right-side receptive field the crop
+        # must cover -- the autograd probe measures ~(pad_a + pad_s)
+        # band frames on the right of an otherwise causal graph
+        pq_right = pad_a + pad_s
     rf_frames = max(1, rf * 9 // 8)
     if cfg.causal:
-        return 2 * rf_frames, 0
+        return 2 * rf_frames, max(1, pq_right * 9 // 8 + 1)
     return rf_frames, rf_frames
 
 

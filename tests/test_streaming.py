@@ -368,3 +368,18 @@ def test_voice_conversion_export_roundtrip(tmp_path):
                      jnp.zeros_like(x), emb, jnp.zeros_like(feat))
     np.testing.assert_allclose(np.asarray(y_pg), np.asarray(y_z),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_rejects_mel_encoder_hybrid():
+    """The hybrid preset's mel front end has no carried STFT context, so
+    chunked encoding would be silently chunk-variant -- StreamingRAVE
+    must reject it loudly (the reference shares the limitation: its
+    cached_conv machinery does not cache the torchaudio Spectrogram,
+    rave/blocks.py:591-596)."""
+    from rave_tpu.config import build_config
+    from rave_tpu.export.streaming import StreamingRAVE
+    cfg = build_config(["hybrid"], ["capacity=4", "n_signal=4096",
+                                    "latent_size=8"])
+    assert cfg.use_mel_encoder
+    with pytest.raises(ValueError, match="mel-encoder"):
+        StreamingRAVE(cfg, params=None, chunk_size=4096)
