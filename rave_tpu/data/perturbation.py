@@ -145,6 +145,20 @@ def formant_shift_native(x: np.ndarray, sr: int,
     return y.astype(np.float32)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=512)
+def _hann_cached(L: int) -> np.ndarray:
+    return np.hanning(L)
+
+
+@lru_cache(maxsize=64)
+def _firwin_cached(taps: int, cutoff: int, sr: int) -> np.ndarray:
+    from scipy.signal import firwin
+    return firwin(taps, cutoff, fs=sr)
+
+
 def pitch_shift_native(x: np.ndarray, sr: int, pitch_ratio: float = 1.0,
                        range_ratio: float = 1.0, fmin: float = 60.0,
                        fmax: float = 500.0) -> np.ndarray:
@@ -192,12 +206,19 @@ def pitch_shift_native(x: np.ndarray, sr: int, pitch_ratio: float = 1.0,
     f0_at = lambda t: np.interp(t, tc, f0_fill)
     voiced_at = lambda t: np.interp(t, tc, voiced.astype(np.float64)) > 0.5
 
-    def epochs(rate_fn):
-        ts, t = [], 0.0
-        while t < n:
-            ts.append(t)
-            t += sr / max(rate_fn(t), 1e-3)
-        return np.asarray(ts)
+    def epochs(rate_track):
+        # vectorised epoch layout by phase integration: epochs are the
+        # integer crossings of the cumulative instantaneous frequency
+        # (equivalent to the sequential t += sr/rate walk up to one-
+        # sample discretisation; analysis epochs get pulse-snapped below
+        # anyway).  ``rate_track``: per-sample Hz.
+        phase = np.cumsum(np.maximum(rate_track, 1e-3)) / sr
+        k = np.arange(1, int(phase[-1]) + 1)
+        ts = np.searchsorted(phase, k).astype(np.float64)
+        return np.concatenate([[0.0], ts[ts < n]])
+
+    t_all = np.arange(n, dtype=np.float64)
+    f0_track = np.interp(t_all, tc, f0_fill)
 
     # analysis pitch marks: spacing from the f0 track, each snapped to
     # the nearest pulse peak of the low-passed signal so grains are
@@ -205,11 +226,13 @@ def pitch_shift_native(x: np.ndarray, sr: int, pitch_ratio: float = 1.0,
     # without it overlap-add at a new spacing interferes destructively)
     from scipy.signal import fftconvolve, firwin
     cutoff = min(2.2 * median, 0.45 * sr)
-    lp = firwin(255, cutoff, fs=sr)
+    lp = _firwin_cached(255, round(cutoff), sr)
     xlp = fftconvolve(x.astype(np.float64), lp, mode="same")
     ana = []
-    for t in epochs(f0_at):
-        T = sr / max(f0_at(t), 1e-3)
+    ana_t = epochs(f0_track)
+    ana_f = f0_at(ana_t)
+    for t, f in zip(ana_t, ana_f):
+        T = sr / max(f, 1e-3)
         c = int(round(t))
         half = max(int(T / 2) - 1, 1)
         lo, hi = max(c - half, 0), min(c + half + 1, n)
@@ -222,14 +245,14 @@ def pitch_shift_native(x: np.ndarray, sr: int, pitch_ratio: float = 1.0,
         # (clip(nearest, 1, 0)); mirror the unvoiced/short-input fallbacks
         return x
 
-    def target_rate(t):
-        f = f0_at(t)
-        if not voiced_at(t):
-            return f  # identity spacing in unvoiced stretches
-        return max(new_median + (f * pitch_ratio - new_median) * range_ratio,
-                   fmin / 2)
+    voiced_track = np.interp(t_all, tc, voiced.astype(np.float64)) > 0.5
+    shifted = np.maximum(
+        new_median + (f0_track * pitch_ratio - new_median) * range_ratio,
+        fmin / 2)
+    # identity spacing in unvoiced stretches
+    target_track = np.where(voiced_track, shifted, f0_track)
 
-    syn = epochs(target_rate)
+    syn = epochs(target_track)
 
     pad = int(sr / (fmin / 2)) + 2
     xp = np.pad(x.astype(np.float64), pad)
@@ -241,12 +264,11 @@ def pitch_shift_native(x: np.ndarray, sr: int, pitch_ratio: float = 1.0,
     nearest = np.clip(nearest, 1, len(ana) - 1)
     left_closer = (syn - ana[nearest - 1]) < (ana[nearest] - syn)
     nearest = nearest - left_closer.astype(int)
-    for s, ai in zip(syn, nearest):
-        a = ana[ai]
-        T = int(round(sr / max(f0_at(a), 1e-3)))
-        T = min(T, pad - 1)
-        L = 2 * T + 1
-        w = np.hanning(L)
+    a_all = ana[nearest]
+    T_all = np.minimum(np.round(sr / np.maximum(f0_at(a_all), 1e-3))
+                       .astype(int), pad - 1)
+    for s, a, T in zip(syn, a_all, T_all):
+        w = _hann_cached(2 * int(T) + 1)
         c_a = int(round(a)) + pad
         c_s = int(round(s)) + pad
         y[c_s - T:c_s + T + 1] += xp[c_a - T:c_a + T + 1] * w
