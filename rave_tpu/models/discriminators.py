@@ -518,7 +518,10 @@ class UnivNetResolutionDiscriminator(nn.Module):
     sampling_rate: int = 16000
     packed: bool = True
 
-    # (kh on F, kw on T, stride on F) -- reference mrd.py convs
+    # (kh on F, kw on T, stride on F) -- reference mrd.py convs.  The
+    # pack size is pinned to 8 = the chain's total F-stride: smaller
+    # packs break the per-layer p %% stride divisibility, larger ones
+    # cannot reach p=1 by the scoring layer.
     SPECS = ((9, 3, 1), (9, 3, 2), (9, 3, 2), (9, 3, 2), (3, 3, 1))
 
     @nn.compact
