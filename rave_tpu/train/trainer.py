@@ -4,6 +4,14 @@ Counterpart of reference ``scripts/train.py:112-230`` / ``train_rave.py``
 minus Lightning: a plain loop around the single jitted train step, with
 data-parallel sharding over all local devices, metric logging (jsonl +
 optional TensorBoard), EMA weights, and best/last checkpoints.
+
+Multi-host behaviour (``--multihost``): the validation *metric*, best-
+checkpoint selection and collective orbax saves are fully multi-host
+(replicated scalars + every-process save); the audio demos, conversion
+demo and latent-PCA fit are single-host-only and are skipped on
+multi-process runs -- batch-sharded arrays spanning hosts are not fully
+addressable from one process, and demos are diagnostics, not training
+state.
 """
 
 from __future__ import annotations
