@@ -35,6 +35,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: without it each worker compiles the train
+# step from scratch (~30-60 s on a loaded 2-core host) and the SKEW
+# between the two workers' compile times can exceed gloo's fixed 30 s
+# KV-rendezvous deadline ("Gloo context initialization failed:
+# DEADLINE_EXCEEDED"), an infra flake unrelated to the code under test
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("RAVE_TPU_TEST_CACHE",
+                                 "/tmp/rave_tpu_test_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.distributed.initialize(coordinator_address=coord,
                            num_processes=int(n_proc),
                            process_id=int(pid))

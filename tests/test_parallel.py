@@ -183,22 +183,38 @@ def test_two_process_multihost(tmp_path):
     s.close()
     coord = f"127.0.0.1:{port}"
 
-    outdir = tmp_path / "mh"
-    outdir.mkdir()
     env = dict(**{k: v for k, v in __import__("os").environ.items()
                   if k != "PALLAS_AXON_POOL_IPS"})
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     worker = Path(__file__).parent / "multihost_worker.py"
-    procs = [subprocess.Popen(
-        [sys.executable, str(worker), coord, "2", str(i), str(outdir)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-        cwd=str(Path(__file__).parent.parent))
-        for i in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out.decode())
+
+    def launch(outdir):
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(i), str(outdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=str(Path(__file__).parent.parent))
+            for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out.decode())
+        return procs, outs
+
+    outdir = tmp_path / "mh"
+    outdir.mkdir()
+    procs, outs = launch(outdir)
+    if any(p.returncode != 0 for p in procs) and any(
+            "Gloo context initialization failed" in o for o in outs):
+        # infra flake, not product code: gloo's KV rendezvous has a fixed
+        # 30 s deadline, and on a loaded 2-core host the workers' compile
+        # skew can exceed it.  One retry (the compile cache is warm now).
+        # Product failures (e.g. the round-3 orbax barrier race,
+        # FAILED_PRECONDITION "Barrier ... already ongoing") do NOT match
+        # this filter and fail immediately.
+        outdir = tmp_path / "mh_retry"
+        outdir.mkdir()
+        procs, outs = launch(outdir)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
 
