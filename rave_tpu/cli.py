@@ -8,6 +8,7 @@ argparse subcommands.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -26,6 +27,20 @@ def main(argv=None):
     pp.add_argument("--lazy", action="store_true",
                     help="store only {path, length}; items decode on "
                          "demand (reference preprocess --lazy)")
+    pp.add_argument("--perturb_variants", type=int, default=0,
+                    help="precompute N perturbed views per record "
+                         "(EQ + formant/pitch shift) so few-core hosts "
+                         "can feed the fork's TPU step at device speed; "
+                         "train-time sampling picks one and applies only "
+                         "cheap noise augmentation. Also available "
+                         "standalone: `rave-tpu perturb`")
+
+    pv = sub.add_parser("perturb", help="precompute perturbation variants "
+                                        "for an existing dataset")
+    pv.add_argument("--db_path", required=True)
+    pv.add_argument("--variants", type=int, default=8)
+    pv.add_argument("--num_workers", type=int, default=0,
+                    help="0 = all cores")
 
     tr = sub.add_parser("train", help="train a model")
     tr.add_argument("--config", action="append", default=[],
@@ -107,10 +122,12 @@ def main(argv=None):
 
     st = sub.add_parser("speaker_stats", help="per-speaker f0 statistics")
     st.add_argument("--db_path", required=True)
-    st.add_argument("--pitch_ckpt", default="",
+    st.add_argument("--pitch_ckpt",
+                    default=os.environ.get("RAVE_TPU_FCPE_CKPT", ""),
                     help="torchfcpe checkpoint: compute stats with the "
                          "converted FCPE neural estimator (the reference's "
-                         "speaker_stats_fcpe.json recipe); default YIN")
+                         "speaker_stats_fcpe.json recipe); defaults to "
+                         "$RAVE_TPU_FCPE_CKPT, else YIN")
     st.add_argument("--out", default=None,
                     help="output json; default <db_path>/"
                          "speaker_stats.json (where train looks)")
@@ -118,14 +135,21 @@ def main(argv=None):
     un = sub.add_parser("units", help="precompute discrete-unit CE targets")
     un.add_argument("--db_path", required=True)
     un.add_argument("--num_units", type=int, default=100)
-    un.add_argument("--provider", choices=["mel", "hubert"], default="mel",
+    un.add_argument("--provider", choices=["mel", "hubert"],
+                    default=("hubert"
+                             if os.environ.get("RAVE_TPU_HUBERT_CKPT")
+                             else "mel"),
                     help="mel: self-contained log-mel k-means stand-in; "
                          "hubert: features from a LOCAL HuBERT checkpoint "
-                         "(reference teacher, rave/model.py:240-241)")
-    un.add_argument("--ckpt", default=None,
+                         "(reference teacher, rave/model.py:240-241). "
+                         "Defaults to hubert when $RAVE_TPU_HUBERT_CKPT "
+                         "is set")
+    un.add_argument("--ckpt",
+                    default=os.environ.get("RAVE_TPU_HUBERT_CKPT"),
                     help="hubert provider: transformers HubertModel dir "
                          "or TorchScript feature extractor; a kmeans.npy "
-                         "beside it is used as the unit codebook")
+                         "beside it is used as the unit codebook "
+                         "(default $RAVE_TPU_HUBERT_CKPT)")
     un.add_argument("--layer", type=int, default=7,
                     help="hubert provider: transformer layer to quantize "
                          "(bshall/hubert-discrete uses layer 7)")
@@ -152,6 +176,21 @@ def main(argv=None):
                           num_workers=args.num_workers,
                           lazy=args.lazy)
         print(meta)
+        if args.perturb_variants:
+            if args.lazy:
+                raise SystemExit("--perturb_variants needs a record-store "
+                                 "db (drop --lazy)")
+            from .data.dataset import precompute_perturbed
+            path = precompute_perturbed(args.output_path,
+                                        args.perturb_variants,
+                                        num_workers=args.num_workers)
+            print(f"wrote {args.perturb_variants} perturbed variants/record "
+                  f"to {path}")
+    elif args.command == "perturb":
+        from .data.dataset import precompute_perturbed
+        path = precompute_perturbed(args.db_path, args.variants,
+                                    num_workers=args.num_workers)
+        print(f"wrote {args.variants} perturbed variants/record to {path}")
     elif args.command == "train":
         from .train.trainer import train_main
         train_main(args)

@@ -444,4 +444,12 @@ def build_config(names: Sequence[str],
         if isinstance(getattr(target, k), tuple) and isinstance(val, list):
             val = tuple(val)
         setattr(target, k, val)
+    # zero-flag asset discovery: a host that HAS the frozen FCPE teacher
+    # exports RAVE_TPU_FCPE_CKPT and everything (training, serving,
+    # speaker stats, gated tests) picks it up without --override
+    # (pitch_ckpt is excluded from the run hash, so this cannot fork
+    # run identity across machines)
+    if not cfg.pitch_ckpt:
+        import os
+        cfg.pitch_ckpt = os.environ.get("RAVE_TPU_FCPE_CKPT", "")
     return cfg

@@ -94,7 +94,8 @@ def f0_norm(f0: np.ndarray, median: float, std: float) -> np.ndarray:
 
 def compute_speaker_stats(dataset, out_json: str,
                           max_items_per_speaker: int = 50,
-                          pitch_ckpt: str = "") -> dict:
+                          pitch_ckpt: str = "",
+                          fmin: float = 50.0, fmax: float = 550.0) -> dict:
     """Per-speaker log-f0 median/std json (reference
     ``pitch_utils.py:180-258`` writing ``speaker_stats_fcpe.json``).
 
@@ -107,7 +108,8 @@ def compute_speaker_stats(dataset, out_json: str,
         params = get_fcpe_params(pitch_ckpt)
         if params is not None:
             fcpe_fn = lambda x: np.asarray(
-                fcpe_f0(params, jnp.asarray(x)[None], dataset.sr)[0])
+                fcpe_f0(params, jnp.asarray(x)[None], dataset.sr,
+                        fmin=fmin, fmax=fmax)[0])
     per_speaker: dict[str, list] = {}
     counts: dict[str, int] = {}
     for i in range(len(dataset)):
@@ -117,7 +119,7 @@ def compute_speaker_stats(dataset, out_json: str,
             continue
         counts[name] = counts.get(name, 0) + 1
         f0 = (fcpe_fn(item["x"]) if fcpe_fn is not None
-              else yin_f0(item["x"], dataset.sr))
+              else yin_f0(item["x"], dataset.sr, fmin=fmin, fmax=fmax))
         v = f0[f0 > 0]
         if len(v):
             per_speaker.setdefault(name, []).extend(np.log(v).tolist())

@@ -121,7 +121,8 @@ class VoiceConverter:
             if fcpe is not None:
                 self._f0_fn = jax.jit(lambda xc: fcpe_f0(
                     fcpe, xc, cfg.sampling_rate,
-                    out_frames=max(1, xc.shape[1] // self._f0_hop)))
+                    out_frames=max(1, xc.shape[1] // self._f0_hop),
+                    fmin=cfg.pitch_fmin, fmax=cfg.pitch_fmax))
             else:
                 self._f0_fn = jax.jit(lambda xc: yin_f0(
                     xc, cfg.sampling_rate, self._f0_frame, self._f0_hop,

@@ -107,6 +107,11 @@ class WNConv(nn.Module):
             # (docs/benchmarks.md round 3).
             og = self.features // groups
             sgf = max(1, min(groups, 128 // max(og, 1)))
+            # sgf must DIVIDE groups or the block-diagonal expansion
+            # below breaks XLA's grouped-conv channel equation (latent
+            # for non-power-of-two configs, e.g. groups=6/og=30 -> 4)
+            while groups % sgf:
+                sgf -= 1
             if sgf > 1:
                 nd_k = kernel.ndim - 2
                 cg = kernel.shape[-2]
@@ -504,24 +509,30 @@ class UnivNetResolutionDiscriminator(nn.Module):
     ``sampling_rate = 16000`` for the ms->samples conversion even though
     the fork feeds 44.1 kHz audio (``rave/mrd.py:14``) -- kept for parity.
 
-    The spectrogram rides in frequency-major orientation (B, F, T, C) --
-    kernels (9, 3), stride on the leading F axis -- so ``packed=True``
-    (default) runs the whole stack through the same packed-resident chain
-    as the Encodec discriminator (frequency rows folded into channels,
-    one conv per layer): natively these 32-channel convs tile at <10% MXU
-    and dominated the v2_fork step (132 ms of 312, profile 2026-08-20).
-    The math is identical to the reference's (3, 9)/time-major convs --
-    the axes are just transposed, which no loss consumes (means over
-    feature maps are orientation-invariant).
+    Orientation matches the reference exactly: torch.stft output is
+    freq-major (B, F, T), Conv2d kernel (3, 9) = 3 taps on F / 9 on T,
+    stride (1, 2) = 2 on T, padding (1, 4).  Here the spectrogram rides
+    TIME-major (B, T, F, C) so the packed-resident chain (which packs
+    the LEADING axis into channels and strides it) puts the 9-tap
+    window and the stride-2 downsampling on the time axis, like the
+    reference.  (Round-3 shipped the transpose -- 9 taps/stride on F --
+    which changed the discriminator's inductive bias; flagged by the
+    round-3 advisor and fixed here.)  ``packed=True`` (default) runs
+    the whole stack through the same packed-resident chain as the
+    Encodec discriminator (time rows folded into channels, one conv per
+    layer): natively these 32-channel convs tile at <10% MXU and
+    dominated the v2_fork step (132 ms of 312, profile 2026-08-20).
     """
     resolution: tuple
     sampling_rate: int = 16000
     packed: bool = True
 
-    # (kh on F, kw on T, stride on F) -- reference mrd.py convs.  The
-    # pack size is pinned to 8 = the chain's total F-stride: smaller
-    # packs break the per-layer p %% stride divisibility, larger ones
-    # cannot reach p=1 by the scoring layer.
+    # (kh on T, kw on F, stride on T) -- reference mrd.py convs with
+    # the torch (kF, kT) tuples transposed into this module's
+    # (leading, second) axis order.  The pack size is pinned to 8 = the
+    # chain's total T-stride: smaller packs break the per-layer
+    # p %% stride divisibility, larger ones cannot reach p=1 by the
+    # scoring layer.
     SPECS = ((9, 3, 1), (9, 3, 2), (9, 3, 2), (9, 3, 2), (3, 3, 1))
 
     @nn.compact
@@ -536,7 +547,7 @@ class UnivNetResolutionDiscriminator(nn.Module):
         sig = jnp.pad(sig, ((0, 0), (pad, pad)), mode="reflect")
         s = stft(sig, n_fft, hop, win_length=win, center=False)
         mag = jnp.abs(s)  # (B, frames, bins)
-        z = mag.transpose(0, 2, 1)[..., None].astype(sig.dtype)  # (B,F,T,1)
+        z = mag[..., None].astype(sig.dtype)  # (B, T, F, 1) time-major
 
         feats = []
         if self.packed:

@@ -230,11 +230,14 @@ def log_mel(x16: jax.Array) -> jax.Array:
     """16 kHz audio (B, T) -> (B, frames, 128) log-mel (torchfcpe
     Wav2Mel: hann window, reflect-padded stft, slaney mel filterbank,
     log(clamp(mel, 1e-5)))."""
+    from ..ops.stft import hann_window
     pad = (N_FFT - HOP) // 2
     xp = jnp.pad(x16, ((0, 0), (pad, pad)), mode="reflect")
     n = 1 + (xp.shape[1] - N_FFT) // HOP
     idx = jnp.arange(N_FFT)[None, :] + HOP * jnp.arange(n)[:, None]
-    frames = xp[:, idx] * jnp.hanning(WIN).astype(jnp.float32)
+    # torch.hann_window default = PERIODIC hann (jnp.hanning is the
+    # symmetric variant, a small systematic mel mismatch vs torchfcpe)
+    frames = xp[:, idx] * jnp.asarray(hann_window(WIN))
     mag = jnp.abs(jnp.fft.rfft(frames, axis=-1))
     fb = jnp.asarray(mel_filterbank(SR, N_FFT, N_MELS, fmax=SR // 2))
     mel = jnp.einsum("bnf,mf->bnm", mag, fb)
@@ -243,17 +246,21 @@ def log_mel(x16: jax.Array) -> jax.Array:
 
 def fcpe_f0(params: dict, x: jax.Array, sr: int,
             out_frames: Optional[int] = None,
-            threshold: float = 0.006) -> jax.Array:
+            threshold: float = 0.006,
+            fmin: float = 50.0, fmax: float = 550.0) -> jax.Array:
     """Audio (B, T) at ``sr`` -> (B, out_frames) f0 Hz (0 = unvoiced).
 
     The full torchfcpe ``infer`` composition the reference calls
     (``pitch_utils.py:133-143``): resample to 16 kHz, log-mel, net,
-    local-argmax decode, then linear interpolation to
-    ``out_frames`` (the reference passes
+    local-argmax decode, the ``f0_min``/``f0_max`` post-processing
+    (detections below ``fmin`` are treated unvoiced and zeroed,
+    detections above ``fmax`` clamped -- the reference passes 50/550),
+    then linear interpolation to ``out_frames`` (the reference passes
     ``output_interp_target_length = T // frame_len``)."""
     x16 = resample_to(x.astype(jnp.float32), sr, SR)
     lat = fcpe_latent(params, log_mel(x16))
     f0 = decode_local_argmax(lat, threshold)
+    f0 = jnp.where(f0 < fmin, 0.0, jnp.minimum(f0, fmax))
     if out_frames is not None and f0.shape[1] != out_frames:
         f0 = jax.image.resize(f0, (f0.shape[0], out_frames), "linear")
     return f0
@@ -345,6 +352,21 @@ def convert_fcpe_checkpoint(path: str) -> dict:
                                    (1, inner, HIDDEN), (2, 1, 0))[0],
                     "bias": take(f"{base}.6.bias", (HIDDEN,))},
         })
+    # strictness also means NOTHING was silently discarded: a checkpoint
+    # trained with conv_only=False carries self-attention weights in
+    # every encoder layer, and dropping them would yield a wrong-but-
+    # plausible pitch model.  The only tolerated leftovers are the
+    # per-layer ``net.encoder_layers.*.norm.*`` LayerNorms (present in
+    # the torchfcpe module but unused by its conv-only forward).
+    leftover = [k for k in sd
+                if not (k.startswith("net.encoder_layers.")
+                        and ".norm." in k)]
+    if leftover:
+        raise ValueError(
+            f"{path}: {len(leftover)} unconsumed weight keys (e.g. "
+            f"{sorted(leftover)[:5]}); the checkpoint does not match the "
+            "conv-only CFNaiveMelPE layout this converter supports "
+            "(was it trained with conv_only=False / self-attention?)")
     return p
 
 

@@ -157,7 +157,8 @@ def pitch_feature(x: jax.Array, out_frames: int, sr: int,
         params = get_fcpe_params(fcpe_ckpt)
         if params is not None:
             n_frames = max(1, x.shape[1] // hop)
-            f0 = fcpe_f0(params, x[..., 0], sr, out_frames=n_frames)
+            f0 = fcpe_f0(params, x[..., 0], sr, out_frames=n_frames,
+                         fmin=fmin, fmax=fmax)
     if f0 is None:
         f0 = yin_f0(x[..., 0], sr, hop=hop, fmin=fmin, fmax=fmax)
     if median is None or std is None:

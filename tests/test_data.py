@@ -1,5 +1,7 @@
 from pathlib import Path
 """Data pipeline: preprocess -> memmap store -> loader round trip."""
+import os
+
 import numpy as np
 import pytest
 
@@ -285,3 +287,21 @@ def test_units_dropped_warning(db, tmp_path):
         assert not any("DROPPED" in str(x.message) for x in w2)
     finally:
         (Path(db_path) / "units.npy").unlink()
+
+
+@pytest.mark.skipif(not os.environ.get("RAVE_TPU_HUBERT_CKPT"),
+                    reason="set RAVE_TPU_HUBERT_CKPT to a local HuBERT "
+                           "checkpoint to validate the real teacher path")
+def test_real_hubert_units_env(db):
+    """Zero-flag real-teacher validation: with $RAVE_TPU_HUBERT_CKPT the
+    CLI defaults to the hubert provider and that checkpoint, and the
+    extracted units behave like 50 Hz discrete units."""
+    from rave_tpu.cli import main as cli_main
+    out, _ = db
+    cli_main(["units", "--db_path", str(out), "--num_units", "100"])
+    units = np.load(out / "units.npy")
+    ds = AudioDataset(str(out))
+    assert units.shape[0] == len(ds)
+    assert units.min() >= 0 and units.max() < 100
+    secs = ds.record_len / ds.sr
+    assert abs(units.shape[1] - secs * 50) <= 2, units.shape

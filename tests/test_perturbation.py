@@ -201,3 +201,188 @@ def test_fork_train_step_consumes_perturbed_batch(db):
     # the perturbed view actually flowed into the encoder: gradients of
     # the step w.r.t. x_perturbed are nonzero by construction of the
     # fork path (encode_input consumes x_p, loop.py:190)
+
+
+# ---------------- reference-parity of the parametric EQ ----------------
+
+def _load_ref_perturbation():
+    """Exec the reference's perturbation.py with a parselmouth stub (its
+    EQ half is pure numpy/scipy math)."""
+    import importlib.util
+    import sys
+    import types
+    path = "/root/reference/rave/perturbation.py"
+    import os
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    saved = {}
+    for s in ["parselmouth", "parselmouth.praat", "librosa",
+              "torchaudio", "torchaudio.functional"]:
+        saved[s] = sys.modules.get(s)
+        sys.modules[s] = types.ModuleType(s)
+    sys.modules["parselmouth"].praat = sys.modules["parselmouth.praat"]
+    sys.modules["parselmouth"].Sound = object
+    sys.modules["torchaudio"].functional = sys.modules[
+        "torchaudio.functional"]
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_perturbation", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        # restore: leaving bare stubs in sys.modules breaks other tests'
+        # own shims (test_reference_parity installs a faithful
+        # torchaudio.Spectrogram only when the name is absent)
+        for s, old in saved.items():
+            if old is None:
+                sys.modules.pop(s, None)
+            else:
+                sys.modules[s] = old
+    return mod
+
+
+@pytest.mark.parametrize("ftype,gain,f,q", [
+    ("peak", 7.5, 1000.0, 3.0),
+    ("peak", -11.0, 250.0, 2.2),
+    ("low", 9.0, 60.0, 4.1),
+    ("high", -6.0, 5965.0, 2.0),
+])
+def test_eq_biquad_matches_reference(ftype, gain, f, q):
+    """Each biquad (coefficients + zi-initialised lfilter) is value-
+    identical to the reference's apply_iir_filter
+    (perturbation.py:270-303)."""
+    from scipy.signal import lfilter, lfilter_zi
+    from rave_tpu.data.perturbation import _peaking, _shelf
+    ref = _load_ref_perturbation()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096)
+    want = ref.apply_iir_filter(x.copy(), ftype=ftype, dBgain=gain,
+                                cutoff_freq=f, sample_rate=SR, Q=q)
+    if ftype == "peak":
+        b, a = _peaking(f, SR, gain, q)
+    else:
+        b, a = _shelf(f, SR, gain, q, high=(ftype == "high"))
+    zi = lfilter_zi(b, a) * x[0]
+    got, _ = lfilter(b, a, x, zi=zi)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-9, atol=1e-10)
+
+
+def test_random_eq_matches_reference_equalizer():
+    """random_eq == the reference's parametric_equalizer when driven by
+    the same random draws (center freqs at power-ratio spacing 60->10000,
+    Q ~ power-ratio [2,5], gains U[-12,12], order peaks -> high shelf ->
+    low shelf; perturbation.py:178-222)."""
+    import random as pyrandom
+    from rave_tpu.data.perturbation import random_eq
+    ref = _load_ref_perturbation()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(8192).astype(np.float32)
+
+    # drive the reference with a recorded uniform stream, then replay
+    # the same stream into random_eq through a scripted Generator
+    draws = []
+    real_uniform = pyrandom.uniform
+
+    def record(a, b):
+        v = real_uniform(a, b)
+        draws.append((a, b, v))
+        return v
+
+    pyrandom.uniform = record
+    try:
+        want = ref.parametric_equalizer(x.copy().astype(np.float64), SR)
+    finally:
+        pyrandom.uniform = real_uniform
+
+    class Replay:
+        """Feeds random_eq the reference's exact draws: reference draws
+        Q (u in [0,1]) x10 then gains x10; random_eq asks uniform() for
+        Q-u and uniform(-12,12) for gain, filter by filter."""
+        def __init__(self, draws):
+            self.qs = [v for a, b, v in draws if (a, b) == (0, 1)]
+            self.gains = [v for a, b, v in draws if (a, b) == (-12, 12)]
+
+        def uniform(self, lo=0.0, hi=1.0):
+            if (lo, hi) == (0.0, 1.0):
+                return self.qs.pop(0)
+            assert (lo, hi) == (-12.0, 12.0)
+            return self.gains.pop(0)
+
+    got = random_eq(x, Replay(draws), SR)
+    np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_perturb_applies_eq_before_shift(monkeypatch):
+    """Pipeline order matches the reference's perturb
+    (perturbation.py:312-318): parametric EQ FIRST, then the
+    formant/pitch shift."""
+    import rave_tpu.data.perturbation as P
+    calls = []
+    monkeypatch.setattr(P, "random_eq",
+                        lambda x, rng, sr: (calls.append("eq"), x)[1])
+    monkeypatch.setattr(P, "random_formant_pitch",
+                        lambda x, rng, sr: (calls.append("shift"), x)[1])
+    x = np.zeros(1024, np.float32)
+    P.Perturb(SR)(x, np.random.default_rng(0))
+    assert calls == ["eq", "shift"]
+
+
+# ---------------- precomputed perturbation variants --------------------
+
+def test_precompute_perturbed_variants(db):
+    """`rave-tpu perturb` stores N full-pipeline variants per record;
+    the dataset then samples stored variants instead of running
+    PSOLA+EQ per item (the few-core-host unblock: device step ~121 ms
+    vs ~150 ms/item native perturbation)."""
+    from rave_tpu.cli import main as cli_main
+    from rave_tpu.data.dataset import AudioDataset
+    from rave_tpu.data.perturbation import Perturb
+
+    cli_main(["perturb", "--db_path", str(db), "--variants", "3",
+              "--num_workers", "1"])
+    import json
+    meta = json.loads((db / "meta.json").read_text())
+    assert meta["perturb_variants"] == 3
+    stored = np.memmap(db / "perturbed.bin", dtype="<i2", mode="r",
+                       shape=(meta["count"], 3, meta["n_signal"]))
+
+    ds = AudioDataset(str(db), perturb=Perturb(meta["sample_rate"]))
+    assert ds.perturbed is not None
+    rng = np.random.default_rng(1)
+    item = ds.get(0, rng)
+    xp = item["x_perturbed"]
+    assert xp.shape == item["x"].shape
+    assert not np.allclose(xp, item["x"])
+    # with no noise corpus the served view IS a stored variant up to the
+    # 0.8 peak norm (scale-invariant cosine match against some variant)
+    best = max(
+        abs(np.dot(xp, v) / (np.linalg.norm(xp) * np.linalg.norm(v) + 1e-9))
+        for v in (stored[0, k].astype(np.float32) / 32768.0 for k in range(3)))
+    assert best > 0.999, best
+    # variant draws vary across rng streams
+    views = {ds.get(0, np.random.default_rng(s))["x_perturbed"].tobytes()
+             for s in range(8)}
+    assert len(views) > 1
+    # a dataset opened WITHOUT perturbation ignores the stored variants
+    ds_plain = AudioDataset(str(db))
+    assert ds_plain.perturbed is None
+    assert "x_perturbed" not in ds_plain.get(0, np.random.default_rng(0))
+
+
+def test_preprocess_cli_perturb_variants(tmp_path):
+    """preprocess --perturb_variants runs the precompute inline."""
+    from rave_tpu.cli import main as cli_main
+    from rave_tpu.data.audio_io import save_wav
+    root = tmp_path / "audio"
+    (root / "s0").mkdir(parents=True)
+    save_wav(root / "s0" / "a.wav", voiced_signal(1.0, sr=16000), 16000)
+    out = tmp_path / "db"
+    cli_main(["preprocess", "--input_path", str(root),
+              "--output_path", str(out), "--num_signal", "8192",
+              "--sampling_rate", "16000", "--num_workers", "1",
+              "--perturb_variants", "2"])
+    import json
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["perturb_variants"] == 2
+    assert (out / "perturbed.bin").exists()
