@@ -121,6 +121,76 @@ def preprocess(input_path: str, output_path: str, n_signal: int = 131072,
 
 
 # ----------------------------------------------------------------------
+# precomputed perturbation variants
+# ----------------------------------------------------------------------
+
+def _perturb_one(args):
+    i, n_variants, seed = args
+    ds = _PERTURB_DS  # inherited on fork
+    x = ds.data[i].astype(np.float32) / 32768.0
+    out = np.empty((n_variants, ds.record_len), "<i2")
+    for v in range(n_variants):
+        rng = np.random.default_rng((seed, int(i), v))
+        y = ds._perturb_fn(x.copy(), rng)
+        out[v] = (np.clip(y, -1, 1) * 32767).astype("<i2")
+    return i, out
+
+
+_PERTURB_DS = None
+
+
+def precompute_perturbed(db_path: str, n_variants: int = 8,
+                         num_workers: int = 0, seed: int = 0) -> str:
+    """Precompute ``n_variants`` perturbed views (full EQ -> formant/
+    pitch-shift pipeline, reference ``perturbation.py:312-318``) of every
+    record into ``perturbed.bin`` (int16, shape (count, N, record_len)).
+
+    Rationale: the native PSOLA+EQ costs ~150 ms/item, so on a few-core
+    host the train-time loader starves the TPU (the device step is
+    ~121 ms for a whole batch of 8).  Precomputing moves that cost into
+    a one-off parallel pass; at train time the loader samples one
+    stored variant (plus cheap background noise + peak norm), restoring
+    input-bound fork training to device speed.  The reference has no
+    analog -- it eats the cost in its 8 DataLoader workers
+    (``scripts/train.py:143-149``)."""
+    import os
+    from .perturbation import Perturb
+
+    root = Path(db_path)
+    meta = json.loads((root / "meta.json").read_text())
+    if meta.get("format") != "int16_records_v1":
+        raise ValueError("perturb_variants needs a record-store db "
+                         "(non-lazy preprocess)")
+    count, record_len = meta["count"], meta["n_signal"]
+
+    class _Ctx:  # shared (fork-inherited) state for the pool workers
+        data = np.memmap(root / "data.bin", dtype="<i2", mode="r",
+                         shape=(count, record_len))
+        _perturb_fn = Perturb(meta["sample_rate"])
+    _Ctx.record_len = record_len
+
+    global _PERTURB_DS
+    _PERTURB_DS = _Ctx
+    out = np.memmap(root / "perturbed.bin", dtype="<i2", mode="w+",
+                    shape=(count, n_variants, record_len))
+    jobs = [(i, n_variants, seed) for i in range(count)]
+    workers = num_workers or max(1, (os.cpu_count() or 2))
+    if workers > 1 and count > 1:
+        with mp.get_context("fork").Pool(workers) as pool:
+            for i, arr in pool.imap_unordered(_perturb_one, jobs,
+                                              chunksize=1):
+                out[i] = arr
+    else:
+        for job in jobs:
+            i, arr = _perturb_one(job)
+            out[i] = arr
+    out.flush()
+    meta["perturb_variants"] = int(n_variants)
+    (root / "meta.json").write_text(json.dumps(meta))
+    return str(root / "perturbed.bin")
+
+
+# ----------------------------------------------------------------------
 # transforms (reference rave/dataset.py:325-362, rave/core.py:70-92)
 # ----------------------------------------------------------------------
 
@@ -242,6 +312,14 @@ class AudioDataset:
         self.units = (np.load(units, mmap_mode="r")
                       if units.exists() and self.n_signal == self.record_len
                       else None)
+        # precomputed perturbation variants (precompute_perturbed):
+        # consumed only when perturbation is actually requested
+        nv = meta.get("perturb_variants", 0)
+        pbin = self.root / "perturbed.bin"
+        self.perturbed = (np.memmap(pbin, dtype="<i2", mode="r",
+                                    shape=(self.count, nv, self.record_len))
+                          if nv and pbin.exists() and perturb is not None
+                          else None)
         if units.exists() and self.units is None:
             # a smaller random crop can't be aligned with the per-record
             # unit frames -- the CE loss would silently disappear
@@ -276,8 +354,9 @@ class AudioDataset:
         reproducible regardless of worker scheduling."""
         x = self.data[i].astype(np.float32) / 32768.0
         # random crop to n_signal (reference RandomCrop)
+        start = 0
         if self.n_signal < self.record_len:
-            start = rng.integers(0, self.record_len - self.n_signal + 1)
+            start = int(rng.integers(0, self.record_len - self.n_signal + 1))
             x = x[start:start + self.n_signal]
         if self.phase_mangle_p > 0 and rng.uniform() < self.phase_mangle_p:
             x = random_phase_mangle(x, rng, sr=self.sr)
@@ -289,7 +368,20 @@ class AudioDataset:
             x = self.derivator(x)
         item = dict(x=x.astype(np.float32),
                     speaker=np.int32(self.speakers[i]))
-        if self.perturb is not None or self.noise is not None:
+        if self.perturbed is not None:
+            # precomputed variant (same crop window as the clean view);
+            # only the cheap train-time augmentations remain: background
+            # noise + the 0.8 peak norm
+            v = int(rng.integers(self.perturbed.shape[1]))
+            xp = self.perturbed[i, v, start:start + self.n_signal] \
+                .astype(np.float32) / 32768.0
+            if self.normalize:
+                xp = normalize_signal(xp)
+            if self.derivator is not None:
+                xp = self.derivator(xp)
+            item["x_perturbed"] = _apply_perturbation(
+                xp, None, self.noise, rng)
+        elif self.perturb is not None or self.noise is not None:
             item["x_perturbed"] = _apply_perturbation(
                 x, self.perturb, self.noise, rng)
         if self.units is not None:

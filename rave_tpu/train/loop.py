@@ -519,6 +519,19 @@ def make_eval_step(cfg: RAVEConfig):
             z_mean = jnp.split(z_pre, 2, axis=-1)[0]
         else:
             z_mean = z_pre
-        return {"validation": dist}, y, z_mean
+        metrics = {"validation": dist}
+        if cfg.hubert_units > 0 and "units" in batch:
+            # held-out discrete-unit prediction quality (the CE teacher
+            # target, reference model.py:345-347) -- objective evidence
+            # the latent carries content, not just reconstruction
+            units = batch["units"]
+            logits = model.apply(variables, z_pre, units.shape[1],
+                                 method=RAVE.project_units)
+            oh = jax.nn.one_hot(units, cfg.hubert_units)
+            metrics["val_unit_ce"] = -jnp.mean(
+                jnp.sum(jax.nn.log_softmax(logits) * oh, axis=-1))
+            metrics["val_unit_accuracy"] = jnp.mean(
+                (jnp.argmax(logits, -1) == units).astype(jnp.float32))
+        return metrics, y, z_mean
 
     return eval_step

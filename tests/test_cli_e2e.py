@@ -109,6 +109,18 @@ def test_cli_voice_conversion_pipeline(workdir):
     # reconstruction (reference model.py:713-731)
     demo_names = [p.name for p in (run_dir / "audio").iterdir()]
     assert any("conversion" in n for n in demo_names), demo_names
+    # ... plus OBJECTIVE conversion-quality + held-out unit metrics
+    # (round-3 verdict #6: speaker-embedding cosine, f0 register, CE
+    # accuracy -- streams the reference never logs)
+    recs = [json.loads(line) for line in
+            (run_dir / "metrics.jsonl").read_text().splitlines()]
+    val_recs = [r for r in recs if "validation" in r]
+    assert val_recs, recs
+    assert any("conversion_spk_cos_target" in r for r in val_recs)
+    assert any("conversion_spk_cos_source" in r for r in val_recs)
+    assert any("val_unit_accuracy" in r and 0 <= r["val_unit_accuracy"] <= 1
+               for r in val_recs)
+    assert any("val_unit_ce" in r for r in val_recs)
 
     cli_main(["eval", "--run", str(run_dir), "--db_path", str(db),
               "--max_items", "16"])
