@@ -60,20 +60,14 @@ class StreamingRAVE:
             # reference parity: AdaIN tracks per-batch-slot stats that the
             # batch duplication would corrupt (export.py:116-117)
             raise ValueError("stereo mode not supported with AdaIN")
-        if cfg.use_mel_encoder:
-            # the hybrid preset's mel front end (rave/blocks.py:591-596)
-            # computes a center-padded STFT per call with no carried frame
-            # context, so chunked encoding would be silently chunk-variant.
-            # The reference has the same limitation (its cached_conv
-            # machinery does not cache the torchaudio Spectrogram); reject
-            # loudly instead of producing clicky output.
+        if cfg.use_mel_encoder and chunk_size % cfg.mel_hop:
+            # hybrid streaming (which the REFERENCE cannot do -- its
+            # cached_conv machinery does not cache the Spectrogram) rides
+            # MelFrontEnd's carried sample cache; chunks must land on mel
+            # frame boundaries
             raise ValueError(
-                "streaming export is not supported for mel-encoder "
-                "(hybrid) configs: the STFT front end carries no frame "
-                "context across chunks, so chunked encoding would not "
-                "equal offline encoding. Decode-only streaming still "
-                "works via RAVE.decode; for full streaming use a PQMF "
-                "encoder config.")
+                f"hybrid streaming needs chunk_size to be a multiple of "
+                f"mel_hop {cfg.mel_hop}, got {chunk_size}")
         self.cfg = cfg
         self.chunk = chunk_size
         self.batch = batch_size

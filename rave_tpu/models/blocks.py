@@ -790,3 +790,86 @@ class GeneratorV1(nn.Module):
             gate = jnp.asarray(warmed_up, y.dtype)
             y = y + gate * noise
         return y
+
+
+# ----------------------------------------------------------------------
+# hybrid mel-spectrogram front end (streaming-capable)
+# ----------------------------------------------------------------------
+
+def mel_front_delay(n_fft: int, hop: int) -> int:
+    """Streaming delay of the centered mel front end, in mel frames.
+
+    A centered frame at position ``k*hop`` needs ``L = n_fft - n_fft//2``
+    samples of lookahead; emitting frames only once their window is fully
+    received delays the stream by ``ceil(L/hop) - 1`` frames (the current
+    chunk itself supplies one hop of lookahead)."""
+    L = n_fft - n_fft // 2
+    return -(-L // hop) - 1
+
+
+class MelFrontEnd(nn.Module):
+    """Log1p mel-spectrogram encoder front end (reference hybrid preset:
+    ``torchaudio.transforms.MelSpectrogram`` + ``[..., :-1]`` + ``log1p``,
+    ``rave/blocks.py:528-531,591-596``, ``configs/hybrid.gin``).
+
+    Matches torchaudio semantics: periodic hann, center=True reflect
+    padding, ``normalized=True`` (divide by sqrt(sum(win^2))), POWER
+    spectrogram (torchaudio default power=2.0), slaney mel filterbank
+    (the in-repo filterbank; torchaudio defaults to htk -- documented
+    deviation shared with the loss-side mel option).
+
+    Streaming (which the reference does NOT support -- its cached_conv
+    machinery cannot cache the Spectrogram): a carried sample cache of
+    ``D*hop + n_fft//2`` samples reproduces the offline frames exactly,
+    delayed by ``D = mel_front_delay(n_fft, hop)`` mel frames; the
+    encoder folds ``D`` in via its ``in_delay``.  The only offline/
+    streaming difference is the clip head: offline reflect-pads the
+    first ``n_fft//2`` samples, streaming starts from a zero cache
+    (zeros == what the conv stack assumes everywhere else).
+    """
+    n_fft: int
+    hop: int
+    n_mels: int
+    sample_rate: int
+    ss: StreamSetup = StreamSetup()
+
+    @property
+    def out_delay(self) -> int:
+        return mel_front_delay(self.n_fft, self.hop) if self.ss.streaming \
+            else 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """Audio (B, T) -> (B, T//hop, n_mels) log1p power-mel."""
+        import numpy as np
+        from ..ops.stft import frame_signal, hann_window, mel_filterbank
+        n_fft, hop = self.n_fft, self.hop
+        win_np = hann_window(n_fft)
+        win = jnp.asarray(win_np)
+        norm = float(np.sqrt(np.sum(win_np.astype(np.float64) ** 2)))
+        mel = jnp.asarray(mel_filterbank(self.sample_rate, n_fft,
+                                         self.n_mels))
+        P = n_fft // 2
+        if self.ss.streaming:
+            D = mel_front_delay(n_fft, hop)
+            S = D * hop + P
+            cache = self.variable(
+                "cache", "ctx",
+                lambda: jnp.zeros((x.shape[0], S), jnp.float32))
+            buf = jnp.concatenate(
+                [cache.value.astype(x.dtype), x], axis=1)
+            cache.value = buf[:, buf.shape[1] - S:].astype(jnp.float32)
+            frames = frame_signal(buf, n_fft, hop)
+            # exactly chunk//hop frames, each starting at m*hop in buf ==
+            # offline frame (global - D) centered at (k*hop)
+            frames = frames[:, : x.shape[1] // hop]
+        else:
+            xp = jnp.pad(x, ((0, 0), (P, P)), mode="reflect")
+            frames = frame_signal(xp, n_fft, hop)
+            # torchaudio emits T//hop + 1 frames; the reference drops the
+            # last ([..., :-1]) == keeping [0, T//hop)
+            frames = frames[:, : x.shape[1] // hop]
+        spec = jnp.fft.rfft((frames * win).astype(jnp.float32), axis=-1)
+        power = (jnp.abs(spec) / norm) ** 2
+        m = power @ mel.T
+        return jnp.log1p(m).astype(x.dtype)

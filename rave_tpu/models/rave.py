@@ -24,7 +24,8 @@ import flax.linen as nn
 from ..config import RAVEConfig
 from ..ops.conv import StreamSetup
 from ..ops.pqmf import PQMF
-from .blocks import EncoderV1, EncoderV2, GeneratorV1, GeneratorV2
+from .blocks import (EncoderV1, EncoderV2, GeneratorV1, GeneratorV2,
+                     MelFrontEnd, mel_front_delay)
 from .latent import (DiscreteHead, SphericalHead, VariationalHead,
                      WassersteinHead)
 from .speaker import SpeakerRAVE
@@ -60,9 +61,14 @@ class CrossEntropyProjection(nn.Module):
 
 
 def pqmf_in_delay(cfg: RAVEConfig) -> int:
-    """PQMF analysis delay threaded into the encoder (0 when the encoder
-    consumes mel frames instead of PQMF bands)."""
-    if cfg.n_band > 1 and not cfg.use_mel_encoder:
+    """Streaming delay of the encoder's input stream, in encoder-input
+    frames: the PQMF analysis delay (band frames), or the mel front
+    end's carried-context delay (mel frames) for hybrid configs.
+    Only consulted by the streaming delay algebra (offline padding is
+    unaffected by ``in_delay``)."""
+    if cfg.use_mel_encoder:
+        return mel_front_delay(cfg.mel_n_fft, cfg.mel_hop)
+    if cfg.n_band > 1:
         from ..ops.pqmf import _pqmf_kernels
         _, pad_a, _, _ = _pqmf_kernels(cfg.pqmf_attenuation, cfg.n_band)
         return pad_a
@@ -131,13 +137,19 @@ def make_decoder(cfg: RAVEConfig, ss: StreamSetup, train_mode: bool = True):
 def band_frame_delay(cfg: RAVEConfig, ss: StreamSetup) -> int:
     """Composite encoder+decoder streaming delay at the band rate:
     encoder latent-frame delay scaled through the decoder's upsamplers
-    plus the decoder's own band-frame delay."""
+    plus the decoder's own band-frame delay.
+
+    The latent->band conversion uses the DECODER ratios: a latent stream
+    delayed by ``d`` frames emerges from the upsamplers delayed by
+    ``d * prod(decoder ratios)`` band frames.  (For PQMF configs the
+    encoder ratios equal the decoder ratios so the distinction is
+    invisible; hybrid's mel encoder has its own ratio chain.)"""
     enc = make_encoder(cfg, ss, train_mode=False)
     dec = make_decoder(cfg, ss, train_mode=False)
-    enc_ratio_total = 1
-    for r in (cfg.encoder_ratios or cfg.ratios):
-        enc_ratio_total *= r
-    return enc.out_delay * enc_ratio_total + dec.out_delay
+    dec_ratio_total = 1
+    for r in cfg.ratios:
+        dec_ratio_total *= r
+    return enc.out_delay * dec_ratio_total + dec.out_delay
 
 
 class RAVE(nn.Module):
@@ -157,6 +169,11 @@ class RAVE(nn.Module):
         ss = self.ss
 
         self.encoder = make_encoder(cfg, ss, self.train_mode)
+        if cfg.use_mel_encoder:
+            self.mel_frontend = MelFrontEnd(
+                n_fft=cfg.mel_n_fft, hop=cfg.mel_hop,
+                n_mels=cfg.mel_n_mels, sample_rate=cfg.sampling_rate,
+                ss=ss)
 
         head = cfg.latent_head
         if head == "variational":
@@ -222,19 +239,13 @@ class RAVE(nn.Module):
     def encoder_features(self, x: jax.Array, bands: jax.Array) -> jax.Array:
         """Encoder input: PQMF band slice, or the hybrid log1p mel
         spectrogram front end (reference ``EncoderV2.forward``,
-        ``rave/blocks.py:591-596``)."""
+        ``rave/blocks.py:591-596``) -- streaming-capable via
+        :class:`~rave_tpu.models.blocks.MelFrontEnd`'s carried sample
+        cache (exceeds the reference, which cannot stream hybrid)."""
         if not self.cfg.use_mel_encoder:
             ds = self.cfg.effective_encoder_data_size()
             return bands[..., :ds]
-        from ..ops.stft import mel_filterbank, stft
-        cfg = self.cfg
-        s = stft(x[..., 0], cfg.mel_n_fft, cfg.mel_hop, normalized=True)
-        mel = jnp.asarray(mel_filterbank(cfg.sampling_rate, cfg.mel_n_fft,
-                                         cfg.mel_n_mels))
-        m = jnp.abs(s) @ mel.T  # (B, frames, mels)
-        # align frame count to T // mel_hop (center=True adds one frame)
-        m = m[:, : x.shape[1] // cfg.mel_hop]
-        return jnp.log1p(m)
+        return self.mel_frontend(x[..., 0])
 
     def _dtype(self):
         return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" \

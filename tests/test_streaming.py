@@ -370,16 +370,85 @@ def test_voice_conversion_export_roundtrip(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_streaming_rejects_mel_encoder_hybrid():
-    """The hybrid preset's mel front end has no carried STFT context, so
-    chunked encoding would be silently chunk-variant -- StreamingRAVE
-    must reject it loudly (the reference shares the limitation: its
-    cached_conv machinery does not cache the torchaudio Spectrogram,
-    rave/blocks.py:591-596)."""
-    from rave_tpu.config import build_config
-    from rave_tpu.export.streaming import StreamingRAVE
-    cfg = build_config(["hybrid"], ["capacity=4", "n_signal=4096",
-                                    "latent_size=8"])
+# consistent tiny hybrid: mel_hop * prod(encoder_ratios) must equal
+# n_band * prod(ratios) (config.py rate invariant)
+HYBRID_TINY = ["capacity=4", "n_signal=16384", "batch_size=1",
+               "ratios=[2,2]", "dilations=[[1,3],[1,3]]",
+               "mel_n_fft=512", "mel_hop=16", "encoder_ratios=[2,2]",
+               "encoder_dilations=[[1],[1]]"]
+
+
+def test_mel_frontend_stream_equals_offline():
+    """The carried-context mel front end: chunked streaming frames ==
+    offline frames shifted by mel_front_delay (exact, away from the
+    reflect-padded clip head).  The REFERENCE cannot do this at all
+    (cached_conv does not cache the Spectrogram, rave/blocks.py:591-596);
+    round <=3 rejected hybrid streaming -- now it streams."""
+    from rave_tpu.models.blocks import MelFrontEnd, mel_front_delay
+    from rave_tpu.ops.conv import StreamSetup
+
+    n_fft, hop, n_mels, sr = 512, 16, 32, 16000
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (1, 8192))) * 0.3
+
+    off = MelFrontEnd(n_fft=n_fft, hop=hop, n_mels=n_mels, sample_rate=sr)
+    v = off.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    m_off = np.asarray(off.apply(v, jnp.asarray(x)))
+
+    st = MelFrontEnd(n_fft=n_fft, hop=hop, n_mels=n_mels, sample_rate=sr,
+                     ss=StreamSetup(streaming=True))
+    chunk = 1024
+    vs = st.init(jax.random.PRNGKey(1), jnp.asarray(x[:, :chunk]))
+    cache = vs.get("cache", {})
+    outs = []
+    for c0 in range(0, x.shape[1], chunk):
+        m, upd = st.apply({"cache": cache}, jnp.asarray(x[:, c0:c0 + chunk]),
+                          mutable=["cache"])
+        cache = upd["cache"]
+        outs.append(np.asarray(m))
+    m_str = np.concatenate(outs, axis=1)
+
+    D = mel_front_delay(n_fft, hop)
+    assert D == (n_fft - n_fft // 2) // hop - 1
+    # offline frame k == streaming frame k + D, for k past the
+    # reflect-vs-zero clip head (ceil((n_fft//2)/hop) frames)
+    head = -(-(n_fft // 2) // hop)
+    a = m_off[:, head: m_str.shape[1] - D]
+    b = m_str[:, head + D:]
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_full_graph_stream_equiv_hybrid():
+    """Whole-graph hybrid streaming (mel front end + GRU decoder) ==
+    offline, interior region.  Wider margin than the PQMF matrix: the
+    clip head differs (offline reflect-pads the first n_fft//2 samples
+    into the STFT; streaming starts from the zero cache every conv
+    assumes) and the GRU state difference decays rather than cutting off
+    at a receptive-field boundary."""
+    cfg = build_config(["hybrid"], HYBRID_TINY)
     assert cfg.use_mel_encoder
-    with pytest.raises(ValueError, match="mel-encoder"):
-        StreamingRAVE(cfg, params=None, chunk_size=4096)
+    off = RAVE(cfg=cfg, train_mode=False)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 16384, 1)) * 0.3
+    variables = jax.jit(off.init)(_rngs(), x)
+    params = variables["params"]
+    aux = {k: v for k, v in variables.items()
+           if k not in ("params", "cache")}
+
+    y_off = jax.jit(lambda v, a: off.apply(
+        v, a, rngs={"latent": jax.random.PRNGKey(4)}))(
+        {"params": params, **aux}, x)
+
+    sr = StreamingRAVE(cfg, params, chunk_size=2048, model_state=aux)
+    y_str = sr.process_file(np.asarray(x[0, :, 0]))
+
+    d = sr.total_delay_samples()
+    a = np.asarray(y_off[0, :, 0])
+    n = len(a)
+    assert d < n // 2, f"delay {d} >= half signal {n}"
+    m = 2 * d + cfg.mel_n_fft + 4096  # head effects + GRU decay
+    a_cmp, b_cmp = a[m - d: n - d - 256], y_str[m: n - 256]
+    err = np.abs(a_cmp - b_cmp)
+    scale = np.abs(a_cmp).mean() + 1e-9
+    assert np.median(err) / scale < 0.02, \
+        f"median rel err {np.median(err) / scale}"
+
+
