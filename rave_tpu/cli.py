@@ -230,6 +230,11 @@ def main(argv=None):
         arr = precompute_units(ds, prov, args.db_path)
         print(f"wrote units {arr.shape} to {args.db_path}/units.npy "
               f"({args.provider})")
+        from .data.units import unit_stats
+        import json as _json
+        stats = unit_stats(arr, args.num_units)
+        print("unit stats (compare providers to quantify the mel "
+              "stand-in vs real HuBERT): " + _json.dumps(stats))
     elif args.command == "decode_noise":
         from .data.noise_corpus import decode_noise_corpus
         res = decode_noise_corpus(args.input_path, args.output_path,

