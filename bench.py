@@ -1,11 +1,17 @@
-"""Benchmark: v2 training steps/s/chip + streaming decode RTF.
+"""Benchmark: train steps/s/chip (v2 / v2_fork / discrete / v3) +
+streaming decode & encode RTF.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The reference publishes no numbers (BASELINE.md); the driver targets are
-">= 3x A100 steps/s on v5e-8" for v2 training and "RTF < 0.05/chip" for
-streaming decode.  ``vs_baseline`` reports RTF headroom (0.05 / measured
-RTF) since that is the one concrete numeric target.
+``vs_baseline`` is the **estimated training multiple vs the reference on
+an A100** (the BASELINE.json headline target is ">= 3x A100 steps/s"):
+measured v2 steps/s divided by an estimated reference-on-A100 steps/s =
+(A100 TF32 peak x assumed utilisation) / (per-step FLOPs from XLA cost
+analysis).  The utilisation assumption (40%, generous to the reference)
+and the full derivation live in docs/benchmarks.md -- the reference
+publishes no numbers of its own (BASELINE.md), so an anchored estimate
+is the only honest denominator.  The RTF-headroom number that round <= 3
+reported in this field now lives in extras.rtf_headroom.
 
 Falls back to smaller shapes if the full-size config fails to
 compile/fit, and logs progress to stderr.
@@ -44,6 +50,10 @@ def bench_train(batch: int, n_signal: int, n_steps: int = 20,
     cfg = build_config([preset], [f"batch_size={batch}",
                                   f"n_signal={n_signal}",
                                   "phase_1_duration=0",
+                                  # RVQ active from step 0 so the
+                                  # discrete bench measures the real
+                                  # quantized step, not the bypass
+                                  "warmup_quantize=0",
                                   "compute_dtype=bfloat16"])
     log(f"init {preset} batch={batch} n_signal={n_signal}")
     state = init_state(cfg, jax.random.PRNGKey(0), batch_size=batch)
@@ -63,6 +73,17 @@ def bench_train(batch: int, n_signal: int, n_steps: int = 20,
 
     log("compiling train step (first call)...")
     t0 = time.perf_counter()
+    flops = None
+    try:
+        # shares the jit cache with the timed calls below (same instance,
+        # same signature) -- no extra compile
+        ca = step.lower(state, batch_d, rng).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and ca.get("flops"):
+            flops = float(ca["flops"])
+            log(f"XLA cost analysis: {flops / 1e12:.3f} TFLOP/step")
+    except Exception as e:
+        log(f"cost analysis unavailable: {e!r}")
     state, m = step(state, batch_d, rng)
     jax.block_until_ready(m)
     log(f"compiled in {time.perf_counter() - t0:.0f}s; warm second step")
@@ -96,7 +117,7 @@ def bench_train(batch: int, n_signal: int, n_steps: int = 20,
     log(f"differential: {n_steps}@{t1:.2f}s, {2*n_steps}@{t2:.2f}s "
         f"-> {per_step*1e3:.1f} ms/step ({1/per_step:.3f} steps/s), "
         f"final step={int(state.step)} loss={float(m['loss_gen_total']):.3f}")
-    return 1 / per_step
+    return 1 / per_step, flops
 
 
 def bench_stream_decode(n_chunks: int = 50, chunk: int = 4096):
@@ -193,42 +214,148 @@ def bench_stream_decode(n_chunks: int = 50, chunk: int = 4096):
     return rtf, scan_rtf
 
 
+def bench_stream_encode(n_chunks: int = 50, chunk: int = 4096):
+    """Streaming ENCODE RTF (scan throughput mode): audio chunks ->
+    latent through the stateful PQMF-analysis + encoder graph (the
+    serving path's other half; BASELINE.json config coverage)."""
+    from rave_tpu.config import build_config
+    from rave_tpu.models.rave import RAVE
+
+    cfg = build_config(["v2"], ["compute_dtype=bfloat16"])
+    model = RAVE(cfg=cfg, streaming=True, train_mode=False)
+    x = jnp.zeros((1, chunk, 1), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "noise": jax.random.PRNGKey(1),
+            "latent": jax.random.PRNGKey(2),
+            "quantizer": jax.random.PRNGKey(3)}
+    variables = jax.jit(
+        lambda r, xx: model.init(r, xx, method=RAVE.encode))(rngs, x)
+    params = variables["params"]
+    cache = variables.get("cache", {})
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def enc(cache, x):
+        z, upd = model.apply({"params": params, "cache": cache}, x,
+                             method=RAVE.encode, mutable=["cache"],
+                             rngs={"latent": jax.random.PRNGKey(4)})
+        return z, upd["cache"]
+
+    log("compiling streaming encode step...")
+
+    @jax.jit
+    def scan_enc(cache, xs):
+        def body(c, xc):
+            z, c2 = enc(c, xc)
+            return c2, z
+        cache, zs = jax.lax.scan(body, cache, xs)
+        return zs, cache
+
+    xs = jnp.zeros((n_chunks, 1, chunk, 1), jnp.float32)
+    zs, cache = scan_enc(cache, xs)
+    sync = lambda a: float(jnp.asarray(a).ravel()[0])
+    sync(zs)
+    audio_seconds = n_chunks * chunk / cfg.sampling_rate
+    t0 = time.perf_counter()
+    for _ in range(2):
+        zs, cache = scan_enc(cache, xs)
+    sync(zs)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(4):
+        zs, cache = scan_enc(cache, xs)
+    sync(zs)
+    t2 = time.perf_counter() - t0
+    rtf = (t2 - t1) / (2 * audio_seconds)
+    log(f"scan encode RTF {rtf:.5f} (throughput mode, differential)")
+    return rtf
+
+
+# A100 anchor (docs/benchmarks.md "A100 anchor" section): the reference
+# trains torch fp32 with cuDNN TF32 convs (torch 1.13 default).  A100
+# TF32 dense peak = 156 TFLOP/s; 40% sustained utilisation is assumed --
+# GENEROUS to the reference (conv-heavy audio GANs with eager-mode
+# Lightning overhead and 32-channel discriminator convs typically
+# sustain 10-25%), so the reported multiple is conservative.
+A100_EFFECTIVE_FLOPS = 156e12 * 0.40
+# The BASELINE.json target compares the v5e-8 SLICE to the A100
+# ("v2 train >= 3x A100 steps/s on v5e-8").  Only one chip is physically
+# reachable here; the slice number is measured-single-chip x 8 x an
+# assumed DP efficiency.  0.9 is conservative for this model: the
+# gradient all-reduce (~tens of MB over ICI) costs a few ms against a
+# ~70 ms compute step, and the 8-device dryrun validates the sharded
+# program compiles+runs (MULTICHIP_r*.json).
+V5E8_CHIPS = 8
+DP_EFFICIENCY = 0.9
+
+
 def main():
     steps_per_s = None
+    v2_flops = None
     shape = None
     for batch, n_signal in [(8, 131072), (4, 65536), (2, 32768)]:
         try:
-            steps_per_s = bench_train(batch, n_signal)
+            steps_per_s, v2_flops = bench_train(batch, n_signal)
             shape = (batch, n_signal)
             break
         except Exception as e:
             log(f"train bench failed at batch={batch}: {e!r}")
-    fork_steps = None
+    extra_steps = {}
     if shape is not None:
-        try:
-            fork_steps = bench_train(*shape, preset="v2_fork")
-        except Exception as e:
-            log(f"fork train bench failed: {e!r}")
+        for preset in ["v2_fork", "discrete", "v3"]:
+            try:
+                sps, _ = bench_train(*shape, preset=preset)
+                extra_steps[preset] = round(sps, 4)
+            except Exception as e:
+                log(f"{preset} train bench failed: {e!r}")
     try:
         rtf, scan_rtf = bench_stream_decode()
     except Exception as e:
-        log(f"stream bench failed: {e!r}")
+        log(f"stream decode bench failed: {e!r}")
         rtf = scan_rtf = None
+    try:
+        enc_rtf = bench_stream_encode()
+    except Exception as e:
+        log(f"stream encode bench failed: {e!r}")
+        enc_rtf = None
+
+    # the headline multiple: the v5e-8 slice's v2 steps/s vs the
+    # reference's estimated A100 steps/s (see module docstring +
+    # docs/benchmarks.md A100-anchor section for every assumption)
+    a100_est = vs_a100 = per_chip_mult = None
+    if v2_flops and shape == (8, 131072) and steps_per_s:
+        a100_est = A100_EFFECTIVE_FLOPS / v2_flops
+        per_chip_mult = steps_per_s / a100_est
+        vs_a100 = V5E8_CHIPS * DP_EFFICIENCY * per_chip_mult
 
     out = {
         "metric": "v2_train_steps_per_s_per_chip",
         "value": round(steps_per_s, 4) if steps_per_s else None,
         "unit": "steps/s/chip",
-        "vs_baseline": (round(0.05 / rtf, 3) if rtf else None),
+        # training multiple: v5e-8 slice vs estimated reference-on-A100
+        # (target >= 3); None when the full-size shape did not run or
+        # cost analysis was unavailable
+        "vs_baseline": round(vs_a100, 3) if vs_a100 else None,
         "extras": {
-            "v2_fork_train_steps_per_s": (round(fork_steps, 4)
-                                          if fork_steps else None),
+            "vs_a100_per_chip": (round(per_chip_mult, 3)
+                                 if per_chip_mult else None),
+            "v2_fork_train_steps_per_s": extra_steps.get("v2_fork"),
+            "discrete_train_steps_per_s": extra_steps.get("discrete"),
+            "v3_train_steps_per_s": extra_steps.get("v3"),
+            "v2_step_tflops": (round(v2_flops / 1e12, 3)
+                               if v2_flops else None),
+            "a100_est_steps_per_s": (round(a100_est, 3)
+                                     if a100_est else None),
+            "a100_assumption": ("156 TF/s TF32 x 40% util (generous); "
+                                "slice = 8 chips x 0.9 DP efficiency"),
             # scan = THROUGHPUT number of record (one dispatch per clip);
             # stream = latency mode (per-chunk dispatch, best-of-10
             # differential -- pinned methodology, docs/benchmarks.md)
             "stream_decode_rtf_latency": round(rtf, 5) if rtf else None,
             "scan_decode_rtf_throughput": (round(scan_rtf, 5)
                                            if scan_rtf else None),
+            "scan_encode_rtf_throughput": (round(enc_rtf, 5)
+                                           if enc_rtf else None),
+            "rtf_headroom": (round(0.05 / rtf, 3) if rtf else None),
             "train_shape": shape,
             "device": str(jax.devices()[0]),
         },
