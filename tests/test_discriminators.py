@@ -16,6 +16,7 @@ from rave_tpu.models.discriminators import (
     EncodecConvNet,
     MultiScaleSpectralDiscriminator,
     PackedFeature,
+    StackDiscriminators,
     _packed_chain_layer,
     pack_rows,
 )
@@ -167,3 +168,55 @@ def test_univnet_mrd_packed_parity():
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("k,ci,co,s,T", [
+    (41, 16, 64, 4, 1024), (41, 1, 16, 4, 512), (15, 4, 8, 2, 256),
+    (5, 32, 64, 3, 513 * 3)])
+def test_phase_dx_matches_native(k, ci, co, s, T):
+    """The phase-decomposed dx rule (custom VJP on strided 1D convs,
+    the MelGAN-ladder backward fix) is numerically exact vs XLA's
+    native gradient, for both dx and dw."""
+    from rave_tpu.models.discriminators import _conv1d_strided
+    pad = ((k - s + 1) // 2,) * 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, T, ci))
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, ci, co)) * 0.1
+
+    def native(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (s,), [pad], dimension_numbers=("NWC", "WIO", "NWC"))
+
+    out_len = (T + 2 * pad[0] - k) // s + 1
+    if out_len != T // s:
+        pytest.skip("shape outside the gate (out_len != T//s)")
+    y0 = native(x, w)
+    y1 = _conv1d_strided(x, w, s, pad)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(f):
+        return lambda x, w: jnp.sum(jnp.sin(f(x, w)))
+
+    gx0, gw0 = jax.grad(loss(native), (0, 1))(x, w)
+    gx1, gw1 = jax.grad(
+        loss(lambda x, w: _conv1d_strided(x, w, s, pad)), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_melgan_grads_finite_with_phase_dx():
+    """End-to-end gradient through the MelGAN stack (which now takes the
+    phase-dx path for its early strided convs)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4096, 1)) * 0.1
+    m = StackDiscriminators(n_dis=2, capacity=4, n_layers=2)
+    params = m.init(jax.random.PRNGKey(1), x)
+
+    def loss(p, x):
+        return sum(jnp.mean(jnp.square(f)) for fl in m.apply(p, x)
+                   for f in fl)
+
+    gp, gx = jax.grad(loss, (0, 1))(params, x)
+    for leaf in jax.tree.leaves((gp, gx)):
+        assert np.isfinite(np.asarray(leaf)).all()
