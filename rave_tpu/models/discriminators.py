@@ -112,6 +112,53 @@ def _conv1d_strided_bwd(stride, pad, res, g):
 _conv1d_strided.defvjp(_conv1d_strided_fwd, _conv1d_strided_bwd)
 
 
+# ----------------------------------------------------------------------
+# Shift-and-add formulation for SINGLE-input-channel 1D convs (the
+# MelGAN/MSD head: k=15, 1 -> 16, stride 1).  With ci=1 the MXU has
+# nothing to contract, and XLA's conv runs ~25x off the HBM floor
+# (measured 2.7 ms fwd / 3.8 ms dx at (16, 131072) vs a ~0.1 ms floor).
+# As k fused shifted broadcast-MACs (fwd) / k shifted matvecs (dx) XLA
+# keeps everything in one pass over the big operand: measured 0.41 ms
+# fwd / 1.8 ms dx.  dw keeps XLA's native rule (already fast).
+# ----------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv1d_ci1(x, kernel, pad):
+    """x (B, T, 1), kernel (k, 1, co), pad (pl, pr) with pl+pr == k-1
+    (same-length output)."""
+    k, _, co = kernel.shape
+    B, T, _ = x.shape
+    xp = jnp.pad(x[..., 0], ((0, 0), pad))
+    y = jnp.zeros((B, T, co), x.dtype)
+    for kt in range(k):
+        y = y + xp[:, kt:kt + T, None] * kernel[kt, 0]
+    return y
+
+
+def _conv1d_ci1_fwd(x, kernel, pad):
+    return _conv1d_ci1(x, kernel, pad), (x, kernel)
+
+
+def _conv1d_ci1_bwd(pad, res, g):
+    x, kernel = res
+    k = kernel.shape[0]
+    B, T, _ = x.shape
+    pl, pr = pad
+    # dx[t] = sum_kt g[t - kt + pl] . kernel[kt]
+    gp = jnp.pad(g, ((0, 0), (pr, pl), (0, 0)))
+    dx = jnp.zeros((B, T), x.dtype)
+    for kt in range(k):
+        dx = dx + gp[:, k - 1 - kt:k - 1 - kt + T, :] @ kernel[kt, 0]
+    _, dw_fn = jax.vjp(lambda w: jax.lax.conv_general_dilated(
+        x, w, (1,), [pad], dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x.dtype), kernel)
+    (dw,) = dw_fn(g)
+    return dx[..., None], dw
+
+
+_conv1d_ci1.defvjp(_conv1d_ci1_fwd, _conv1d_ci1_bwd)
+
+
 def _wn_init(fan_in: int):
     bound = 1.0 / (fan_in ** 0.5)
 
@@ -204,6 +251,12 @@ class WNConv(nn.Module):
         out_len = ((T + padding[0][0] + padding[0][1]
                     - ((self.kernel_size[0] - 1) * dilation[0] + 1))
                    // strides[0] + 1) if nd == 1 else None
+        # NOTE: a shift-and-add path for the 1-input-channel head conv
+        # (_conv1d_ci1) won 6.6x fwd / 2.1x dx ISOLATED but cost the
+        # whole fork step +36 ms in-graph (153 vs 117.5 ms) -- the k
+        # explicit shifted adds break XLA's surrounding fusions.  Kept
+        # implemented+tested but NOT dispatched (docs/speed_of_light.md
+        # ledger).
         if (nd == 1 and groups == 1 and strides[0] > 1
                 and dilation[0] == 1 and kernel.shape[1] <= 32
                 and T % strides[0] == 0 and out_len == T // strides[0]):

@@ -220,3 +220,32 @@ def test_melgan_grads_finite_with_phase_dx():
     gp, gx = jax.grad(loss, (0, 1))(params, x)
     for leaf in jax.tree.leaves((gp, gx)):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("k,co,T,pad", [
+    (15, 16, 1024, (7, 7)), (15, 16, 513, (7, 7)), (4, 8, 256, (2, 1))])
+def test_ci1_conv_matches_native(k, co, T, pad):
+    """Shift-and-add single-input-channel conv (the MelGAN head fix):
+    forward, dx and dw exact vs XLA's native conv."""
+    from rave_tpu.models.discriminators import _conv1d_ci1
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, T, 1))
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, 1, co)) * 0.1
+
+    def native(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1,), [pad], dimension_numbers=("NWC", "WIO", "NWC"))
+
+    np.testing.assert_allclose(np.asarray(native(x, w)),
+                               np.asarray(_conv1d_ci1(x, w, pad)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(f):
+        return lambda x, w: jnp.sum(jnp.sin(f(x, w)))
+
+    gx0, gw0 = jax.grad(loss(native), (0, 1))(x, w)
+    gx1, gw1 = jax.grad(
+        loss(lambda x, w: _conv1d_ci1(x, w, pad)), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1),
+                               rtol=1e-4, atol=1e-5)
