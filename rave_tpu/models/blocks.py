@@ -814,9 +814,10 @@ class MelFrontEnd(nn.Module):
 
     Matches torchaudio semantics: periodic hann, center=True reflect
     padding, ``normalized=True`` (divide by sqrt(sum(win^2))), POWER
-    spectrogram (torchaudio default power=2.0), slaney mel filterbank
-    (the in-repo filterbank; torchaudio defaults to htk -- documented
-    deviation shared with the loss-side mel option).
+    spectrogram (torchaudio default power=2.0), and the htk/no-norm mel
+    filterbank torchaudio defaults to (``configs/hybrid.gin`` sets
+    neither knob; the loss-side mel option keeps librosa's
+    slaney/slaney to match the reference's ``MelScale``).
 
     Streaming (which the reference does NOT support -- its cached_conv
     machinery cannot cache the Spectrogram): a carried sample cache of
@@ -848,7 +849,7 @@ class MelFrontEnd(nn.Module):
         win = jnp.asarray(win_np)
         norm = float(np.sqrt(np.sum(win_np.astype(np.float64) ** 2)))
         mel = jnp.asarray(mel_filterbank(self.sample_rate, n_fft,
-                                         self.n_mels))
+                                         self.n_mels, htk=True, norm=None))
         P = n_fft // 2
         if self.ss.streaming:
             D = mel_front_delay(n_fft, hop)

@@ -127,3 +127,26 @@ def test_spectral_distance_mel_option():
     d = spectral_distance(x, y, 512, norms=("L1", "L2"), mel=64)
     assert float(d) > 0
     assert float(spectral_distance(x, x, 512, mel=64)) == 0.0
+
+
+def test_mel_filterbank_htk_option():
+    """htk=True/norm=None reproduces the torchaudio MelSpectrogram
+    default basis the reference's hybrid front end uses (htk formula:
+    mel = 2595 log10(1 + f/700); triangular, unnormalised)."""
+    import numpy as np
+    from rave_tpu.ops.stft import mel_filterbank
+    fb = mel_filterbank(16000, 512, 32, htk=True, norm=None)
+    assert fb.shape == (32, 257)
+    # unnormalised triangles peak at 1
+    assert 0.97 <= fb.max() <= 1.0
+    # htk mel centers: f_m = 700 (10^(m/2595) - 1) on a linear mel grid
+    lo, hi = 0.0, 8000.0
+    m = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)
+    inv = lambda mm: 700.0 * (10.0 ** (mm / 2595.0) - 1.0)
+    centers = inv(np.linspace(m(lo), m(hi), 34))[1:-1]
+    peak_bins = fb.argmax(axis=1) * (8000.0 / 256)
+    # peaks land on the analytic centers within one fft bin
+    np.testing.assert_allclose(peak_bins, centers, atol=8000.0 / 256)
+    # default stays slaney/slaney (loss-side MelScale parity unchanged)
+    fb_s = mel_filterbank(16000, 512, 32)
+    assert fb_s.max() < 0.2  # slaney-normalised triangles are small
