@@ -133,3 +133,27 @@ def test_cli_voice_conversion_pipeline(workdir):
     vc = [p.name for p in exp.iterdir() if "convert" in p.name
           or "speaker" in p.name]
     assert vc, f"no VC artifacts in {sorted(p.name for p in exp.iterdir())}"
+
+
+def test_cli_hybrid_train_export(workdir):
+    """Hybrid (mel front end + GRU decoder) through the full CLI chain
+    INCLUDING streaming export -- which the reference cannot do at all
+    (its Spectrogram is uncached) and rounds <= 3 rejected."""
+    db = workdir / "db"
+    runs = workdir / "runs"
+    cli_main(["train", "--config", "hybrid", *TINY,
+              "--override", "mel_n_fft=512", "--override", "mel_hop=16",
+              "--override", "encoder_ratios=[2,2]",
+              "--override", "ratios=[2,2]",
+              "--override", "encoder_dilations=[[1],[1]]",
+              "--override", "dilations=[[1,3],[1,3]]",
+              "--db_path", str(db), "--name", "hyb",
+              "--out_path", str(runs),
+              "--max_steps", "3", "--val_every", "0", "--ckpt_every", "0"])
+    run_dir = next(runs.glob("hyb_*"))
+    cli_main(["export", "--run", str(run_dir), "--chunk_size", "1024"])
+    exp = run_dir / "export"
+    meta = json.loads((exp / "meta.json").read_text())
+    assert meta["total_delay_samples"] >= 0
+    assert (exp / "encode.stablehlo").exists()
+    assert (exp / "decode.stablehlo").exists()
