@@ -869,10 +869,23 @@ class DescriptMSD(nn.Module):
 
 class DescriptMRD(nn.Module):
     """Reference ``MRD`` (``descript_discriminator.py:118-183``):
-    band-split complex STFT + per-band 2D conv stacks."""
+    band-split complex STFT + per-band 2D conv stacks.
+
+    The band convs are (3, 9) kernels with stride (1, 2): 9 taps and the
+    downsampling along FREQUENCY, total F-stride 8 across the chain --
+    exactly the packed-resident shape (see ``_packed_chain_layer``).
+    ``packed=True`` (default) runs each band freq-major through the
+    packed chain (native per-band convs measured 43-70 GB/s and
+    dominated the v3 step).  Parameters are identical to the native
+    formulation (the stored (3, 9, ci, co) kernels are transposed to
+    (9, 3, ci, co) at trace time), so checkpoints are interchangeable."""
     window_length: int
     hop_factor: float = 0.25
     bands: Sequence[tuple] = DESCRIPT_BANDS
+    packed: bool = True
+
+    SPECS = (((3, 9), (1, 1)), ((3, 9), (1, 2)), ((3, 9), (1, 2)),
+             ((3, 9), (1, 2)), ((3, 3), (1, 1)))
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
@@ -889,9 +902,36 @@ class DescriptMRD(nn.Module):
         outs = []
         for bi, (b0, b1) in enumerate(bands):
             band = z[:, :, b0:b1, :]
-            for li, (k, st) in enumerate([((3, 9), (1, 1)), ((3, 9), (1, 2)),
-                                          ((3, 9), (1, 2)), ((3, 9), (1, 2)),
-                                          ((3, 3), (1, 1))]):
+            if self.packed:
+                # freq-major residency: (B, F_b, T', C), pack F rows
+                a = band.transpose(0, 2, 1, 3)
+                p, F, o = 8, a.shape[1], 0
+                a = pack_rows(a, p)
+                ci = 2
+                for li, (k, st) in enumerate(self.SPECS):
+                    dummy = jnp.zeros((1, 1, 1, ci), z.dtype)
+                    w, b = WNConv(features=32, kernel_size=k, strides=st,
+                                  padding=[((k[0] - 1) // 2,) * 2,
+                                           ((k[1] - 1) // 2,) * 2],
+                                  mode="kernel",
+                                  name=f"band{bi}_conv{li}")(dummy)
+                    # stored (kT, kF, ci, co) -> chain-major (kF, kT, ..)
+                    w = w.transpose(1, 0, 2, 3)
+                    kh, kw = w.shape[0], w.shape[1]
+                    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+                    a, p, F, o = _packed_chain_layer(
+                        a, w, b, p, F, o, st[1], 1, ph, pw,
+                        lrelu_slope=0.1)
+                    feats.append(a if p == 1 and o == 0
+                                 else PackedFeature(a, valid_rows=F,
+                                                   pout=p, offset=o))
+                    ci = 32
+                assert p == 1 and o == 0, (p, o)
+                # back to native (B, T', F_b/8, 32) for the concat+post
+                # (a: (B, nb>=F, T', 32) with valid F rows first)
+                outs.append(a[:, :F].transpose(0, 2, 1, 3))
+                continue
+            for li, (k, st) in enumerate(self.SPECS):
                 ph, pw = (k[0] - 1) // 2, (k[1] - 1) // 2
                 band = WNConv(features=32, kernel_size=k, strides=st,
                               padding=[(ph, ph), (pw, pw)],
@@ -915,9 +955,19 @@ class DescriptDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
-        # DC removal + peak normalisation (descript_discriminator.py:205-210)
-        x = x - jnp.mean(x, axis=1, keepdims=True)
-        x = 0.8 * x / (jnp.max(jnp.abs(x), axis=1, keepdims=True) + 1e-9)
+        # DC removal + peak normalisation (descript_discriminator.py:205-210).
+        # Computed in f32: in bf16 the mean/peak reductions are coarse
+        # enough that the backward's 1/(peak+eps)^2 rescue term blows up
+        # on near-silent generator output (the whole v3 bf16 step NaN'd
+        # on the FIRST generator gradient; MPD-only and MRD-only both
+        # reproduced it, isolating this shared preprocess).  Two
+        # elementwise passes over raw audio -- negligible next to the
+        # conv stacks.
+        dt = x.dtype
+        x32 = x.astype(jnp.float32)
+        x32 = x32 - jnp.mean(x32, axis=1, keepdims=True)
+        x = (0.8 * x32 / (jnp.max(jnp.abs(x32), axis=1, keepdims=True)
+                          + 1e-9)).astype(dt)
         out = []
         for i, p in enumerate(self.periods):
             out.append(DescriptMPD(period=p, name=f"mpd{i}")(x))

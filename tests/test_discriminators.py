@@ -249,3 +249,43 @@ def test_ci1_conv_matches_native(k, co, T, pad):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_descript_mrd_packed_parity():
+    """The packed-resident DescriptMRD (reference
+    descript_discriminator.py:118-183) shares a param tree with the
+    native per-band formulation and produces the same features (packed
+    maps ride freq-major; unpack + transpose recovers the native
+    orientation)."""
+    from rave_tpu.models.discriminators import DescriptMRD
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4096, 1)) * 0.3
+    d_p = DescriptMRD(window_length=512, packed=True)
+    d_n = DescriptMRD(window_length=512, packed=False)
+    params = d_p.init(jax.random.PRNGKey(1), x)
+    params_n = d_n.init(jax.random.PRNGKey(1), x)
+    assert jax.tree.structure(params) == jax.tree.structure(params_n)
+    f_p = d_p.apply(params, x)
+    f_n = d_n.apply(params, x)
+    assert len(f_p) == len(f_n)
+    for i, (a, b) in enumerate(zip(f_p, f_n)):
+        if isinstance(a, PackedFeature):
+            a = a.unpack()
+        if i < len(f_p) - 1:
+            # every packed-mode band feature rides freq-major
+            # (orientation is invisible to the FM loss); only the final
+            # post-concat conv is native. NB a shape test is not enough:
+            # band4/conv1 is square (33 x 33).
+            a = a.transpose(0, 2, 1, 3)
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    # gradients flow and are finite through the packed chain
+    def loss(p):
+        return sum(jnp.mean(jnp.square(
+            f.data if isinstance(f, PackedFeature) else f))
+            for f in d_p.apply(p, x))
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
