@@ -36,6 +36,38 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def _spectral_formulation_delta(cfg, batch: int, n_signal: int):
+    """FLOP overhead of the packed-resident Encodec spectral chain vs
+    its native formulation, fwd+bwd at the training shape (2B batched
+    real+fake pass).  Used to report TRUE math FLOPs in the A100 anchor.
+    """
+    from rave_tpu.models.discriminators import MultiScaleSpectralDiscriminator
+
+    def count(packed):
+        d = MultiScaleSpectralDiscriminator(
+            scales=tuple(cfg.discriminator.spectral_scales),
+            packed=packed)
+        x = jnp.zeros((2 * batch, n_signal, 1), jnp.bfloat16)
+        params = jax.eval_shape(lambda: d.init(jax.random.PRNGKey(0), x))
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+
+        def loss(x):
+            return sum(jnp.sum(jnp.abs(
+                f.data if hasattr(f, "data") else f).astype(jnp.float32))
+                for fl in d.apply(params, x) for f in fl)
+
+        ca = jax.jit(jax.grad(loss)).lower(x).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca["flops"]) if ca and ca.get("flops") else None
+
+    try:
+        fp, fn = count(True), count(False)
+        return fp - fn if (fp and fn) else None
+    except Exception as e:
+        log(f"formulation-delta analysis unavailable: {e!r}")
+        return None
+
+
 def bench_train(batch: int, n_signal: int, n_steps: int = 20,
                 preset: str = "v2"):
     from rave_tpu.config import build_config
@@ -82,6 +114,21 @@ def bench_train(batch: int, n_signal: int, n_steps: int = 20,
         if ca and ca.get("flops"):
             flops = float(ca["flops"])
             log(f"XLA cost analysis: {flops / 1e12:.3f} TFLOP/step")
+        if flops and preset == "v2":
+            # Honest-anchor correction: the compiled step's FLOPs include
+            # the packed spectral chain's FORMULATION redundancy (taps
+            # folded into channels), which the reference would not pay --
+            # counting it would deflate the estimated A100 steps/s and
+            # inflate the reported multiple.  v2's other members (MPD /
+            # MSD / generator / encoder / losses) are dense, so measuring
+            # the packed-vs-native delta of the spectral member alone
+            # de-redundants the total exactly.
+            delta = _spectral_formulation_delta(cfg, batch, n_signal)
+            if delta is not None:
+                log(f"packed-formulation overhead: {delta / 1e12:.3f} "
+                    f"TFLOP/step; anchor uses "
+                    f"{(flops - delta) / 1e12:.3f} TFLOP (true math)")
+                flops = flops - delta
     except Exception as e:
         log(f"cost analysis unavailable: {e!r}")
     state, m = step(state, batch_d, rng)

@@ -170,6 +170,10 @@ def main(argv=None):
 
     if args.command == "preprocess":
         from .data.dataset import preprocess
+        if args.perturb_variants and args.lazy:
+            # reject BEFORE the (potentially long) preprocess runs
+            raise SystemExit("--perturb_variants needs a record-store db "
+                             "(drop --lazy)")
         meta = preprocess(args.input_path, args.output_path,
                           n_signal=args.num_signal,
                           sample_rate=args.sampling_rate,
@@ -177,9 +181,6 @@ def main(argv=None):
                           lazy=args.lazy)
         print(meta)
         if args.perturb_variants:
-            if args.lazy:
-                raise SystemExit("--perturb_variants needs a record-store "
-                                 "db (drop --lazy)")
             from .data.dataset import precompute_perturbed
             path = precompute_perturbed(args.output_path,
                                         args.perturb_variants,

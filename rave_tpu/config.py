@@ -451,5 +451,14 @@ def build_config(names: Sequence[str],
     # run identity across machines)
     if not cfg.pitch_ckpt:
         import os
-        cfg.pitch_ckpt = os.environ.get("RAVE_TPU_FCPE_CKPT", "")
+        env = os.environ.get("RAVE_TPU_FCPE_CKPT", "")
+        if env:
+            # loud: the estimator choice (FCPE vs YIN fallback) now
+            # depends on the environment, and pitch_ckpt is excluded
+            # from the run hash -- resuming on a host WITHOUT the var
+            # would silently switch the f0 front end to YIN
+            print(f"pitch_ckpt <- $RAVE_TPU_FCPE_CKPT ({env}); keep the "
+                  "variable set on every host that touches this run, or "
+                  "pass --override pitch_ckpt=... explicitly")
+            cfg.pitch_ckpt = env
     return cfg

@@ -185,7 +185,9 @@ def precompute_perturbed(db_path: str, n_variants: int = 8,
             i, arr = _perturb_one(job)
             out[i] = arr
     out.flush()
+    from .perturbation import PERTURB_VERSION
     meta["perturb_variants"] = int(n_variants)
+    meta["perturb_version"] = PERTURB_VERSION
     (root / "meta.json").write_text(json.dumps(meta))
     return str(root / "perturbed.bin")
 
@@ -320,6 +322,19 @@ class AudioDataset:
                                     shape=(self.count, nv, self.record_len))
                           if nv and pbin.exists() and perturb is not None
                           else None)
+        if self.perturbed is not None:
+            from .perturbation import PERTURB_VERSION
+            stored = meta.get("perturb_version")
+            if stored != PERTURB_VERSION:
+                import warnings
+                warnings.warn(
+                    f"{pbin} was precomputed by perturbation version "
+                    f"{stored!r} but the code is {PERTURB_VERSION!r}: the "
+                    "stored variants follow the OLD augmentation "
+                    "distribution. Re-run `rave-tpu perturb` (falling "
+                    "back to on-the-fly perturbation for now).",
+                    stacklevel=2)
+                self.perturbed = None
         if units.exists() and self.units is None:
             # a smaller random crop can't be aligned with the per-record
             # unit frames -- the CE loss would silently disappear

@@ -21,6 +21,12 @@ this image, so:
 from __future__ import annotations
 
 import numpy as np
+
+# Bump whenever the perturbation math or its randomization changes:
+# precomputed `perturbed.bin` stores carry this tag so a stale store is
+# detected instead of silently serving an old augmentation distribution
+# (this round alone changed the EQ coefficients AND the EQ/shift order).
+PERTURB_VERSION = "r4-eqfirst-powerratioQ"
 from scipy.signal import lfilter, stft as sp_stft, istft as sp_istft
 
 try:  # optional Praat backend

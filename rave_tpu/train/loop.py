@@ -201,6 +201,21 @@ def _gan_terms(cfg, disc, dis_params, x, y):
     return loss_dis, loss_adv, fm
 
 
+def unit_ce_terms(model, variables, z_pre, units, num_units):
+    """Discrete-unit CE loss + accuracy from the latent projection --
+    ONE definition shared by the train step (the fork's CE objective,
+    reference model.py:345-347) and the eval metrics, so they can never
+    diverge.  The projection interpolates to the unit provider's actual
+    frame count (the reference hard-codes 148 for its 131072-sample
+    clips, model.py:123)."""
+    logits = model.apply(variables, z_pre, units.shape[1],
+                         method=RAVE.project_units)
+    oh = jax.nn.one_hot(units, num_units)
+    ce = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, axis=-1))
+    acc = jnp.mean((jnp.argmax(logits, -1) == units).astype(jnp.float32))
+    return ce, acc
+
+
 def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
                     dis_params, model_state, batch, rng, step):
     """Full generator-side forward producing every loss term + aux."""
@@ -235,15 +250,8 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
     # CE loss against HuBERT units (fork path, model.py:345-347)
     ce_loss = jnp.float32(0.0)
     if cfg.hubert_units > 0 and "units" in batch:
-        units = batch["units"]  # (B, frames) int
-        # interpolate the latent projection to the unit provider's actual
-        # frame count (the reference hard-codes 148 for its 131072-sample
-        # clips, model.py:123)
-        logits = model.apply(variables, z_pre, units.shape[1],
-                             method=RAVE.project_units)
-        oh = jax.nn.one_hot(units, cfg.hubert_units)
-        ce_loss = -jnp.mean(
-            jnp.sum(jax.nn.log_softmax(logits) * oh, axis=-1))
+        ce_loss, _ = unit_ce_terms(model, variables, z_pre,
+                                   batch["units"], cfg.hubert_units)
 
     # latent regularisation
     if cfg.speaker_embedding_size > 0:
@@ -522,16 +530,13 @@ def make_eval_step(cfg: RAVEConfig):
         metrics = {"validation": dist}
         if cfg.hubert_units > 0 and "units" in batch:
             # held-out discrete-unit prediction quality (the CE teacher
-            # target, reference model.py:345-347) -- objective evidence
-            # the latent carries content, not just reconstruction
-            units = batch["units"]
-            logits = model.apply(variables, z_pre, units.shape[1],
-                                 method=RAVE.project_units)
-            oh = jax.nn.one_hot(units, cfg.hubert_units)
-            metrics["val_unit_ce"] = -jnp.mean(
-                jnp.sum(jax.nn.log_softmax(logits) * oh, axis=-1))
-            metrics["val_unit_accuracy"] = jnp.mean(
-                (jnp.argmax(logits, -1) == units).astype(jnp.float32))
+            # target) -- objective evidence the latent carries content,
+            # not just reconstruction; same definition as the trained
+            # objective (unit_ce_terms)
+            ce, acc = unit_ce_terms(model, variables, z_pre,
+                                    batch["units"], cfg.hubert_units)
+            metrics["val_unit_ce"] = ce
+            metrics["val_unit_accuracy"] = acc
         return metrics, y, z_mean
 
     return eval_step

@@ -60,7 +60,7 @@ def melgan():
 def mrd():
     """UnivNet MRD, packed-resident over TIME rows (round-4 orientation).
     Tap counts from the shipped _chain_taps algebra."""
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
     from rave_tpu.models.discriminators import _chain_taps
     true_f = form_f = bytes_min = 0.0
     for hop_ms, win_ms in [(5, 25), (10, 50), (2, 10)]:
