@@ -111,6 +111,15 @@ class RAVEConfig:
     # is available (the reference always freezes a pretrained one,
     # model.py:165-174; see `rave-tpu train --speaker_ckpt`)
     train_speaker_encoder: bool = False
+    # >0 adds a linear speaker-classification head on the 256-d speaker
+    # embedding trained by CE over the dataset's speaker ids.  The
+    # reference gets a discriminative embedding for free from VoxCeleb
+    # pretraining (AAM-softmax classification, the ECAPA recipe); this is
+    # the from-scratch equivalent so `train_speaker_encoder=true` runs
+    # still learn SEPARATED speaker clusters instead of a degenerate
+    # embedding (round-4 finding: without it, spk-cosine streams sit at
+    # ~1.0 for every speaker pair).  Set to the corpus speaker count.
+    speaker_classes: int = 0
     # pitch conditioning: normalised-f0 channels appended to the decoder
     # latent (the fork's myforward surface, scripts/export.py:349-397;
     # core.get_augmented_latent_size's pitch_embedding_size arg,

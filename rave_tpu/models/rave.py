@@ -222,6 +222,15 @@ class RAVE(nn.Module):
         else:
             self.ce_projection = None
 
+        if cfg.speaker_embedding_size > 0 and cfg.speaker_classes > 0:
+            # from-scratch discriminative training of the speaker
+            # embedding: linear CE head over speaker ids (the VoxCeleb
+            # pretraining the reference relies on, done in-run; see
+            # RAVEConfig.speaker_classes)
+            self.speaker_classifier = nn.Dense(cfg.speaker_classes)
+        else:
+            self.speaker_classifier = None
+
     # ---------------- functional pieces --------------------------------
 
     def pqmf_forward(self, x: jax.Array) -> jax.Array:
@@ -267,6 +276,11 @@ class RAVE(nn.Module):
         if self.cfg.train_speaker_encoder:
             return emb
         return jax.lax.stop_gradient(emb)
+
+    def classify_speaker(self, emb: jax.Array) -> jax.Array:
+        """Speaker-id logits from the (B, 256) embedding (the auxiliary
+        classification objective; ``cfg.speaker_classes``)."""
+        return self.speaker_classifier(emb)
 
     def reparametrize(self, z, rng=None, train: bool = False, enabled=True):
         if isinstance(self.latent, DiscreteHead):
@@ -378,6 +392,8 @@ class RAVE(nn.Module):
         z = self.encode_input(x, bands)
         if self.ce_projection is not None:
             _ = self.project_units(z)
+        if self.speaker_classifier is not None:
+            _ = self.classify_speaker(self.speaker_embedding(bands))
         _ = self.reparametrize(z, train=False)
         return y
 

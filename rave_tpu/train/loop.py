@@ -46,10 +46,14 @@ FROZEN_GROUP = ("speaker_encoder",)
 def _enc_group(cfg: RAVEConfig) -> tuple:
     """The encoder optimizer group; the speaker encoder joins it when
     trained rather than frozen (cfg.train_speaker_encoder -- the
-    no-pretrained-checkpoint fallback)."""
+    no-pretrained-checkpoint fallback), and the speaker-classification
+    head (cfg.speaker_classes) always trains when present."""
+    g = ENC_GROUP
+    if cfg.speaker_embedding_size > 0 and cfg.speaker_classes > 0:
+        g = g + ("speaker_classifier",)
     if cfg.train_speaker_encoder:
-        return ENC_GROUP + FROZEN_GROUP
-    return ENC_GROUP
+        g = g + FROZEN_GROUP
+    return g
 
 
 class TrainState(struct.PyTreeNode):
@@ -272,6 +276,19 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
         else:
             emb = model.apply(variables, bands_x,
                               method=RAVE.speaker_embedding)
+        if cfg.speaker_classes > 0 and "speaker" in batch:
+            # auxiliary speaker-id CE on the pooled embedding (see
+            # RAVEConfig.speaker_classes): makes the from-scratch
+            # embedding discriminative, standing in for the reference's
+            # VoxCeleb-pretrained encoder (model.py:165-174)
+            logits = model.apply(variables, emb,
+                                 method=RAVE.classify_speaker)
+            oh = jax.nn.one_hot(batch["speaker"], cfg.speaker_classes)
+            aux["spk_ce"] = -jnp.mean(jnp.sum(
+                jax.nn.log_softmax(logits.astype(jnp.float32)) * oh, -1))
+            aux["spk_acc"] = jnp.mean(
+                (jnp.argmax(logits, -1) == batch["speaker"]).astype(
+                    jnp.float32))
         emb = jnp.broadcast_to(emb[:, None, :],
                                (z.shape[0], z.shape[1], emb.shape[-1]))
         z_dec = jnp.concatenate([z_dec, emb], axis=-1)
@@ -339,7 +356,7 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
             cfg.sampling_rate)
 
     return dict(x=x_full, y=y_full, z=z_dec, reg=reg, ce=ce_loss,
-                dists=dists, new_state=new_state, warm=warm)
+                dists=dists, new_state=new_state, warm=warm, aux=aux)
 
 
 def receptive_field_frames(cfg: RAVEConfig) -> tuple[int, int]:
@@ -399,6 +416,8 @@ def _metric_names(cfg: RAVEConfig) -> tuple[str, ...]:
     else:
         names += ["loss_multiband_spectral_distance",
                   "loss_fullband_spectral_distance"]
+    if cfg.speaker_embedding_size > 0 and cfg.speaker_classes > 0:
+        names += ["loss_speaker_ce", "speaker_accuracy"]
     return tuple(sorted(names))
 
 
@@ -446,6 +465,11 @@ def make_train_step(cfg: RAVEConfig):
 
         metrics = {f"loss_{k}": v for k, v in loss_terms.items()}
         metrics["loss_ce"] = out["ce"]
+        if "spk_ce" in out["aux"]:
+            spk_ce = out["aux"]["spk_ce"]
+            total = total + spk_ce * cfg.weights.get("speaker_ce", 1.0)
+            metrics["loss_speaker_ce"] = spk_ce
+            metrics["speaker_accuracy"] = out["aux"]["spk_acc"]
         metrics["loss_gen_total"] = total
         return total, (out["new_state"], _fill_metrics(cfg, metrics))
 

@@ -112,6 +112,40 @@ def test_fork_train_step_with_units_and_speaker():
     assert np.allclose(np.asarray(s0), np.asarray(s1))
 
 
+def test_fork_speaker_classification_aux_loss():
+    """`speaker_classes>0` + `train_speaker_encoder=true`: the linear
+    speaker-id head trains by CE and its gradient reaches the speaker
+    encoder, making the from-scratch embedding discriminative (the
+    in-run stand-in for the reference's VoxCeleb pretraining,
+    model.py:165-174)."""
+    cfg = build_config(["v2_fork"], TINY + [
+        "train_speaker_encoder=true", "speaker_classes=4"])
+    cfg.discriminator.kind = "multi_scale"
+    cfg.discriminator.capacity = 4
+    cfg.discriminator.n_layers = 2
+    cfg.discriminator.member_weights = None
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    assert "speaker_classifier" in state.gen_params
+    step = jax.jit(make_train_step(cfg))
+    batch = make_batch(cfg)
+    batch["units"] = jax.random.randint(jax.random.PRNGKey(3),
+                                        (cfg.batch_size, 148), 0,
+                                        cfg.hubert_units)
+    batch["speaker"] = jnp.arange(cfg.batch_size, dtype=jnp.int32) % 4
+    c0 = np.asarray(
+        jax.tree.leaves(state.gen_params["speaker_classifier"])[0]).copy()
+    s0 = np.asarray(
+        jax.tree.leaves(state.gen_params["speaker_encoder"])[0]).copy()
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    m = jax.tree.map(float, m)
+    assert np.isfinite(m["loss_speaker_ce"]) and m["loss_speaker_ce"] > 0
+    assert 0.0 <= m["speaker_accuracy"] <= 1.0
+    c1 = np.asarray(jax.tree.leaves(state.gen_params["speaker_classifier"])[0])
+    s1 = np.asarray(jax.tree.leaves(state.gen_params["speaker_encoder"])[0])
+    assert not np.allclose(c0, c1), "classifier head got no gradient"
+    assert not np.allclose(s0, s1), "speaker encoder got no CE gradient"
+
+
 def test_v1_batchnorm_running_stats_update():
     """EncoderV1 BatchNorm keeps real running statistics: training steps
     update the batch_stats collection (reference nn.BatchNorm1d,
