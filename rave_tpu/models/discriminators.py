@@ -590,6 +590,40 @@ class MultiScaleSpectralDiscriminator(nn.Module):
         return out
 
 
+class MultiScaleSpectralDiscriminator1d(nn.Module):
+    """1d variant of the multi-scale spectral discriminator (reference
+    ``discriminator.py:156-170``): the complex STFT bins become 1d-conv
+    CHANNELS (``n + 2`` = real+imag of ``n/2 + 1`` bins) and a strided
+    1d ConvNet runs over the frame axis (``configs/v2.gin:65-78``:
+    kernel 5, stride 2).  Bound in v2.gin but not a member of its active
+    combine (v2.gin:86-91) -- a dead-config leaf in the reference,
+    implemented for completeness and selectable here via the
+    ``spectral_1d`` combine member."""
+    scales: Sequence[int] = (4096, 2048, 1024, 512, 256)
+    capacity: int = 64
+    n_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[list[jax.Array]]:
+        sig = x[..., 0]
+        out = []
+        for i, scale in enumerate(self.scales):
+            if sig.shape[1] < scale:
+                raise ValueError(
+                    f"spectral_1d discriminator scale {scale} needs at "
+                    f"least {scale} samples, got {sig.shape[1]} (reduce "
+                    f"discriminator.spectral_scales or raise n_signal)")
+            s = stft(sig, scale, scale // 4, center=False, normalized=True)
+            # (B, frames, bins) complex -> (B, frames, n+2) channels
+            z = jnp.concatenate([s.real, s.imag], -1).astype(sig.dtype)
+            out.append(ConvNet1d(in_size=scale + 2,
+                                 capacity=self.capacity,
+                                 n_layers=self.n_layers,
+                                 kernel_size=5, stride=2,
+                                 name=f"spec1d{i}")(z))
+        return out
+
+
 class MultiPeriodDiscriminator(nn.Module):
     """RAVE-style period discriminator (reference
     ``discriminator.py:173-194``): fold time into (T/p, p), shared 2D
@@ -1000,6 +1034,11 @@ class CombineDiscriminators(nn.Module):
                 out.extend(MultiScaleSpectralDiscriminator(
                     scales=tuple(self.spectral_scales),
                     name="msspec")(x))
+            elif m == "spectral_1d":
+                out.extend(MultiScaleSpectralDiscriminator1d(
+                    scales=tuple(self.spectral_scales),
+                    capacity=self.capacity,
+                    name="msspec1d")(x))
             elif m == "univnet":
                 out.extend(UnivNetDiscriminator(name="univnet")(x))
             elif m == "melgan_stack":
@@ -1018,14 +1057,16 @@ def member_sub_count(member: str, disc_cfg=None) -> int:
     discriminator config (scale/period lists) are derived from
     ``disc_cfg`` when given, so non-default configs can't silently
     mis-align ``member_weights``."""
-    if disc_cfg is not None and member == "spectral":
-        # the only combine member whose sub-count follows the config (the
-        # "periods" member keeps the MPD's own default prime periods)
+    if disc_cfg is not None and member in ("spectral", "spectral_1d"):
+        # the only combine members whose sub-count follows the config
+        # (the "periods" member keeps the MPD's own default prime
+        # periods)
         return len(disc_cfg.spectral_scales)
     return {
         "periods": 5,
         "scales": 3,
         "spectral": 5,
+        "spectral_1d": 5,
         "univnet": 8,        # 3 MRD + 5 MPD
         "melgan_stack": 3,
         "descript": 8,       # 5 MPD + 3 MRD
@@ -1036,6 +1077,7 @@ DISCRIMINATORS = {
     "multi_scale": MultiScaleDiscriminator,
     "multi_period": MultiPeriodDiscriminator,
     "spectral": MultiScaleSpectralDiscriminator,
+    "spectral_1d": MultiScaleSpectralDiscriminator1d,
     "univnet": UnivNetDiscriminator,
     "melgan_stack": StackDiscriminators,
     "descript": DescriptDiscriminator,

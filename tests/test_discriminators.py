@@ -289,3 +289,36 @@ def test_descript_mrd_packed_parity():
     g = jax.grad(loss)(params)
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_spectral_1d_shapes_and_combine_member():
+    """The dead-config leaf the reference binds but never combines
+    (``discriminator.py:156-170``, ``configs/v2.gin:75-78``): complex
+    STFT bins as 1d-conv channels, kernel 5 / stride 2 over frames."""
+    from rave_tpu.models.discriminators import (
+        CombineDiscriminators, MultiScaleSpectralDiscriminator1d,
+        member_sub_count)
+
+    d = MultiScaleSpectralDiscriminator1d(scales=(256, 128), capacity=4,
+                                          n_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1024, 1))
+    params = d.init(jax.random.PRNGKey(1), x)
+    feats = d.apply(params, x)
+    assert len(feats) == 2                      # one chain per scale
+    for scale, chain in zip((256, 128), feats):
+        assert len(chain) == 3                  # n_layers + final 1x1
+        frames = (1024 - scale) // (scale // 4) + 1
+        B, T, C = chain[0].shape
+        assert B == 2 and C == 4                # capacity ladder start
+        assert T == -(-frames // 2)             # stride 2
+        assert chain[-1].shape[-1] == 1         # score head
+    # too-short signal must raise, not silently train on empty frames
+    with pytest.raises(ValueError):
+        d.init(jax.random.PRNGKey(1), x[:, :100])
+
+    c = CombineDiscriminators(members=("scales", "spectral_1d"),
+                              capacity=4, spectral_scales=(256, 128))
+    params = c.init(jax.random.PRNGKey(2), x)
+    out = c.apply(params, x)
+    assert len(out) == 3 + 2                    # 3 MSD + 2 spectral_1d
+    assert member_sub_count("spectral_1d") == 5
