@@ -159,6 +159,24 @@ def main(argv=None):
     dn.add_argument("--output_path", required=True)
     dn.add_argument("--sampling_rate", type=int, default=44100)
 
+    va = sub.add_parser(
+        "validate_assets",
+        help="validate the frozen-teacher assets (FCPE / HuBERT / speaker "
+             "checkpoints) against this repo's native implementations and "
+             "write docs/assets_validation.md")
+    va.add_argument("--fcpe_ckpt", default=None,
+                    help="torchfcpe checkpoint (default $RAVE_TPU_FCPE_CKPT)")
+    va.add_argument("--hubert_ckpt", default=None,
+                    help="local HuBERT checkpoint dir or TorchScript file "
+                         "(default $RAVE_TPU_HUBERT_CKPT)")
+    va.add_argument("--speaker_ckpt", default=None,
+                    help="VoxCeleb ECAPA speaker checkpoint (__S__. layout)")
+    va.add_argument("--db_path", default=None,
+                    help="preprocessed dataset for the mel-vs-HuBERT "
+                         "unit-stats comparison")
+    va.add_argument("--out", default=None,
+                    help="report path (default docs/assets_validation.md)")
+
     rd = sub.add_parser("remote_dataset",
                         help="serve a preprocessed dataset over HTTP "
                              "(reference scripts/remote_dataset.py)")
@@ -236,6 +254,9 @@ def main(argv=None):
         stats = unit_stats(arr, args.num_units)
         print("unit stats (compare providers to quantify the mel "
               "stand-in vs real HuBERT): " + _json.dumps(stats))
+    elif args.command == "validate_assets":
+        from .utils.assets import validate_assets_main
+        validate_assets_main(args)
     elif args.command == "decode_noise":
         from .data.noise_corpus import decode_noise_corpus
         res = decode_noise_corpus(args.input_path, args.output_path,
