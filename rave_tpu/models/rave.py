@@ -224,10 +224,12 @@ class RAVE(nn.Module):
 
         if cfg.speaker_embedding_size > 0 and cfg.speaker_classes > 0:
             # from-scratch discriminative training of the speaker
-            # embedding: linear CE head over speaker ids (the VoxCeleb
+            # embedding: AAM-softmax head over speaker ids (the VoxCeleb
             # pretraining the reference relies on, done in-run; see
-            # RAVEConfig.speaker_classes)
-            self.speaker_classifier = nn.Dense(cfg.speaker_classes)
+            # RAVEConfig.speaker_classes and models.speaker.AAMSpeakerHead)
+            from .speaker import AAMSpeakerHead
+            self.speaker_classifier = AAMSpeakerHead(
+                classes=cfg.speaker_classes)
         else:
             self.speaker_classifier = None
 
@@ -277,10 +279,13 @@ class RAVE(nn.Module):
             return emb
         return jax.lax.stop_gradient(emb)
 
-    def classify_speaker(self, emb: jax.Array) -> jax.Array:
+    def classify_speaker(self, emb: jax.Array,
+                         labels: Optional[jax.Array] = None) -> jax.Array:
         """Speaker-id logits from the (B, 256) embedding (the auxiliary
-        classification objective; ``cfg.speaker_classes``)."""
-        return self.speaker_classifier(emb)
+        AAM-softmax objective; ``cfg.speaker_classes``).  With ``labels``
+        the target-class margin is applied (training); without, plain
+        scaled cosine logits (accuracy/eval)."""
+        return self.speaker_classifier(emb, labels)
 
     def reparametrize(self, z, rng=None, train: bool = False, enabled=True):
         if isinstance(self.latent, DiscreteHead):

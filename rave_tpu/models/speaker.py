@@ -44,6 +44,36 @@ def _max_pool_1d(x: jax.Array, window: int = 2) -> jax.Array:
     return x.reshape(x.shape[0], T // window, window, x.shape[2]).max(2)
 
 
+class AAMSpeakerHead(nn.Module):
+    """Additive-angular-margin softmax head (the ECAPA/VoxCeleb training
+    objective the reference's pretrained speaker encoder was built with):
+    cosine logits between the L2-normalised embedding and L2-normalised
+    class weights, with margin ``m`` added to the target-class ANGLE and
+    scale ``s``.  Plain softmax CE makes embeddings linearly separable
+    without separating them in cosine -- which is what the conversion
+    metrics (and VC itself, which conditions the decoder on the raw
+    embedding) measure -- so the from-scratch path optimises the angular
+    geometry directly."""
+    classes: int
+    margin: float = 0.2
+    scale: float = 30.0
+
+    @nn.compact
+    def __call__(self, emb: jax.Array,
+                 labels: jax.Array | None = None) -> jax.Array:
+        w = self.param("weight", nn.initializers.lecun_normal(),
+                       (emb.shape[-1], self.classes))
+        wn = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-9)
+        en = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-9)
+        cos = (en @ wn).astype(jnp.float32)  # (B, classes)
+        if labels is None:
+            return self.scale * cos
+        theta = jnp.arccos(jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7))
+        cos_m = jnp.cos(theta + self.margin)
+        oh = jax.nn.one_hot(labels, self.classes, dtype=cos.dtype)
+        return self.scale * (oh * cos_m + (1.0 - oh) * cos)
+
+
 class SpeakerRAVE(nn.Module):
     """Input: PQMF bands (B, T/M, 16). Output: (B, 256) embedding.
 

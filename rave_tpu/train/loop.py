@@ -277,17 +277,21 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
             emb = model.apply(variables, bands_x,
                               method=RAVE.speaker_embedding)
         if cfg.speaker_classes > 0 and "speaker" in batch:
-            # auxiliary speaker-id CE on the pooled embedding (see
-            # RAVEConfig.speaker_classes): makes the from-scratch
-            # embedding discriminative, standing in for the reference's
-            # VoxCeleb-pretrained encoder (model.py:165-174)
-            logits = model.apply(variables, emb,
+            # auxiliary AAM-softmax speaker-id CE on the pooled embedding
+            # (see RAVEConfig.speaker_classes): separates the
+            # from-scratch embeddings in COSINE (which conditions the
+            # decoder and judges conversion), standing in for the
+            # reference's VoxCeleb-pretrained encoder (model.py:165-174)
+            logits = model.apply(variables, emb, batch["speaker"],
                                  method=RAVE.classify_speaker)
             oh = jax.nn.one_hot(batch["speaker"], cfg.speaker_classes)
             aux["spk_ce"] = -jnp.mean(jnp.sum(
                 jax.nn.log_softmax(logits.astype(jnp.float32)) * oh, -1))
+            # accuracy from the margin-free cosine logits
+            plain = model.apply(variables, emb,
+                                method=RAVE.classify_speaker)
             aux["spk_acc"] = jnp.mean(
-                (jnp.argmax(logits, -1) == batch["speaker"]).astype(
+                (jnp.argmax(plain, -1) == batch["speaker"]).astype(
                     jnp.float32))
         emb = jnp.broadcast_to(emb[:, None, :],
                                (z.shape[0], z.shape[1], emb.shape[-1]))

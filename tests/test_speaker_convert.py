@@ -243,3 +243,27 @@ def test_install_speaker_weights_roundtrip():
     a = jax.tree.leaves(state.gen_params["encoder"])[0]
     b = jax.tree.leaves(out.gen_params["encoder"])[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_aam_head_margin_semantics():
+    """AAMSpeakerHead: margin-free call returns scaled cosines; with
+    labels the TARGET class logit is strictly reduced (cos(theta+m) <
+    cos(theta)) and non-target logits are untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rave_tpu.models.speaker import AAMSpeakerHead
+
+    head = AAMSpeakerHead(classes=4, margin=0.2, scale=30.0)
+    emb = jax.random.normal(jax.random.PRNGKey(0), (3, 16))
+    params = head.init(jax.random.PRNGKey(1), emb)
+    plain = np.asarray(head.apply(params, emb))
+    assert plain.shape == (3, 4)
+    assert np.all(np.abs(plain) <= 30.0 + 1e-4)  # scaled cosines
+    labels = jnp.array([0, 1, 2])
+    margined = np.asarray(head.apply(params, emb, labels))
+    for i, c in enumerate([0, 1, 2]):
+        assert margined[i, c] < plain[i, c]  # margin bites the target
+        others = [j for j in range(4) if j != c]
+        np.testing.assert_allclose(margined[i, others], plain[i, others],
+                                   rtol=1e-5)
