@@ -159,6 +159,17 @@ def _conv1d_ci1_bwd(pad, res, g):
 _conv1d_ci1.defvjp(_conv1d_ci1_fwd, _conv1d_ci1_bwd)
 
 
+def _ci1_pallas_enabled() -> bool:
+    """Dispatch gate for the Pallas ci=1 head-conv stencil
+    (``RAVE_TPU_CI1_PALLAS=1`` opts in).  Off by default: correctness is
+    interpret-mode verified, but the Mosaic lowering is still being
+    qualified on the tunnelled toolchain (first on-TPU compile attempt
+    SIGABRT'd the remote tpu_compile_helper)."""
+    import os
+    return os.environ.get("RAVE_TPU_CI1_PALLAS", "") == "1" \
+        and jax.devices()[0].platform in ("tpu", "axon")
+
+
 def _wn_init(fan_in: int):
     bound = 1.0 / (fan_in ** 0.5)
 
@@ -256,8 +267,18 @@ class WNConv(nn.Module):
         # whole fork step +36 ms in-graph (153 vs 117.5 ms) -- the k
         # explicit shifted adds break XLA's surrounding fusions.  Kept
         # implemented+tested but NOT dispatched (docs/speed_of_light.md
-        # ledger).
-        if (nd == 1 and groups == 1 and strides[0] > 1
+        # ledger).  The round-5 Pallas stencil below (ci1_conv.py) is the
+        # formulation that owns its own memory traffic instead.
+        if (nd == 1 and groups == 1 and strides[0] == 1
+                and dilation[0] == 1 and in_ch == 1
+                and self.kernel_size[0] <= 16 and T >= 8192
+                and padding[0][0] + padding[0][1] == self.kernel_size[0] - 1
+                and _ci1_pallas_enabled()):
+            # the MelGAN/MSD head conv (k=15, 1->16): time-on-lanes
+            # Pallas stencil for fwd + dx (ops/pallas/ci1_conv.py)
+            from ..ops.pallas.ci1_conv import conv1d_ci1_pallas
+            y = conv1d_ci1_pallas(x, kernel, tuple(padding[0]))
+        elif (nd == 1 and groups == 1 and strides[0] > 1
                 and dilation[0] == 1 and kernel.shape[1] <= 32
                 and T % strides[0] == 0 and out_len == T // strides[0]):
             # strided small-channel 1D conv: custom phase-decomposed dx

@@ -131,7 +131,14 @@ def conversion_quality(spk_emb_fn, state, conv_pair, yc,
                      / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
 
     out = {"conversion_spk_cos_target": cos(e[0], e[2]),
-           "conversion_spk_cos_source": cos(e[0], e[1])}
+           "conversion_spk_cos_source": cos(e[0], e[1]),
+           # source-vs-target separation of the encoder itself: the
+           # ceiling on any conversion gap (if the encoder cannot tell
+           # the two speakers apart, cos_target - cos_source cannot
+           # move).  With the AAM-trained from-scratch encoder this
+           # should fall well below 1; a VoxCeleb-pretrained one starts
+           # low.
+           "conversion_spk_cos_pair": cos(e[1], e[2])}
     from ..data.pitch import yin_f0
     f0c = yin_f0(np.asarray(yc)[0, :t, 0], sr)
     f0t = yin_f0(np.asarray(tgt)[0, :t, 0], sr)

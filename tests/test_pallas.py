@@ -84,3 +84,35 @@ def test_fused_model_param_tree_and_output_match():
     y1 = jax.jit(lambda v, a: m1.apply(v, a, rngs=r))(v0, x)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("T,pad", [(1000, (7, 7)), (4096, (7, 7)),
+                                   (777, (14, 0))])
+def test_ci1_conv_pallas_fwd_matches_native(T, pad):
+    """Pallas ci=1 head conv (interpret mode off-TPU) == XLA conv."""
+    from rave_tpu.ops.pallas.ci1_conv import _native_fwd, _pallas_fwd
+    k, co = sum(pad) + 1, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = jax.random.normal(ks[0], (2, T, 1), jnp.float32)
+    w = jax.random.normal(ks[1], (k, 1, co)) * 0.3
+    ref = _native_fwd(x, w, pad)
+    got = _pallas_fwd(x, w, pad, tile=256, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ci1_conv_pallas_dx_matches_native():
+    from rave_tpu.ops.pallas.ci1_conv import _native_fwd, _pallas_dx
+    k, co, T = 15, 16, 1000
+    pad = (7, 7)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(ks[0], (2, T, 1), jnp.float32)
+    w = jax.random.normal(ks[1], (k, 1, co)) * 0.3
+    g = jax.random.normal(ks[2], (2, T, co))
+    _, dx_fn = jax.vjp(lambda xx: _native_fwd(xx, w, pad), x)
+    (ref,) = dx_fn(g)
+    got = _pallas_dx(g, w, pad, T, tile=256, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
