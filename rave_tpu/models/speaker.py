@@ -81,9 +81,28 @@ class SpeakerRAVE(nn.Module):
     statistics + running-stat updates) -- required when the encoder is
     fine-tuned from random init (``cfg.train_speaker_encoder``), where
     frozen running stats would stay at the mean-0/var-1 init forever and
-    the BNs would normalize against meaningless statistics."""
+    the BNs would normalize against meaningless statistics.
+
+    ``item_norm=True`` replaces both BatchNorms with LayerNorms
+    (batch-independent, identical in train and eval) -- the from-scratch
+    training mode.  Round-5 finding: a from-scratch run drives the
+    pre-norm batch variance to ~1e-7 (below the BN epsilon), so the
+    speaker separation the AAM objective learns lives entirely in
+    eps-amplified noise that BatchNorm's train(batch-stats) vs
+    eval(running-average) mode switch then destroys -- embeddings that
+    separate to cosine -0.1 in train mode collapse to 0.9998 in eval
+    mode.  The reference never hits this because it only ever loads a
+    VoxCeleb-pretrained encoder with healthy statistics; keep
+    ``item_norm=False`` (BatchNorm) when loading those checkpoints."""
     ss: StreamSetup = StreamSetup()
     train_bn: bool = False
+    item_norm: bool = False
+
+    def _norm(self, name: str):
+        if self.item_norm:
+            return nn.LayerNorm(name=name)
+        return nn.BatchNorm(use_running_average=not self.train_bn,
+                            name=name)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -115,8 +134,7 @@ class SpeakerRAVE(nn.Module):
              jnp.broadcast_to(std, z.shape)], axis=-1)
         w = Conv1d(features=128, kernel_size=1, name="attn1")(glob)
         w = nn.relu(w)
-        w = nn.BatchNorm(use_running_average=not self.train_bn,
-                         name="attn_bn")(w)
+        w = self._norm("attn_bn")(w)
         w = Conv1d(features=768, kernel_size=1, name="attn2")(w)
         w = jax.nn.softmax(w, axis=1)
 
@@ -124,6 +142,5 @@ class SpeakerRAVE(nn.Module):
         sg = jnp.sqrt(jnp.clip(jnp.sum(z ** 2 * w, axis=1) - mu ** 2,
                                1e-4, 1e4))
         e = jnp.concatenate([mu, sg], axis=-1)
-        e = nn.BatchNorm(use_running_average=not self.train_bn,
-                         name="bn5")(e)
+        e = self._norm("bn5")(e)
         return nn.Dense(256, name="fc6")(e)

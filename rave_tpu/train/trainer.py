@@ -257,6 +257,12 @@ def train_main(args) -> None:
         # __S__. key rewrite + freeze); converted torch->flax once here
         from ..models.speaker_convert import (install_speaker_weights,
                                               load_speaker_checkpoint)
+        if cfg.speaker_norm == "auto" and cfg.train_speaker_encoder:
+            raise SystemExit(
+                "train_speaker_encoder=true resolves speaker_norm=auto to "
+                "LayerNorm, which cannot load a BatchNorm-layout VoxCeleb "
+                "checkpoint; add --override speaker_norm=batch to "
+                "fine-tune the pretrained encoder")
         sp, st = load_speaker_checkpoint(args.speaker_ckpt)
         state = install_speaker_weights(state, sp, st)
         print(f"loaded pretrained speaker encoder: {args.speaker_ckpt}")

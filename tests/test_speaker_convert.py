@@ -267,3 +267,42 @@ def test_aam_head_margin_semantics():
         others = [j for j in range(4) if j != c]
         np.testing.assert_allclose(margined[i, others], plain[i, others],
                                    rtol=1e-5)
+
+
+def test_from_scratch_speaker_embedding_train_eval_consistent():
+    """The round-5 collapse bug: with `train_speaker_encoder=true` the
+    speaker embedding must be IDENTICAL under train_mode and eval mode
+    (item-norm path) -- the BatchNorm train/eval mode switch silently
+    destroyed the learned separation (pre-norm batch variance ~1e-7 is
+    below the BN epsilon, so the separation lived in eps-amplified
+    noise that running averages re-normalized differently)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rave_tpu.config import build_config
+    from rave_tpu.models.rave import RAVE
+
+    cfg = build_config(["v2_fork"], [
+        "capacity=4", "n_signal=16384", "batch_size=2",
+        "valid_signal_crop=false", "train_speaker_encoder=true",
+        "speaker_classes=4"])
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.n_signal, 1)) * 0.1
+    mt = RAVE(cfg=cfg, train_mode=True)
+    me = RAVE(cfg=cfg, train_mode=False)
+    rngs = {"params": jax.random.PRNGKey(1), "latent": jax.random.PRNGKey(2),
+            "noise": jax.random.PRNGKey(3),
+            "quantizer": jax.random.PRNGKey(4)}
+    variables = mt.init(rngs, x, method=RAVE.warmup)
+    # item-norm mode: no batch_stats collection at all
+    assert "batch_stats" not in variables
+    bands = mt.apply(variables, x, method=RAVE.pqmf_forward)
+    et = mt.apply(variables, bands, method=RAVE.speaker_embedding)
+    ee = me.apply(variables, bands, method=RAVE.speaker_embedding)
+    np.testing.assert_allclose(np.asarray(et), np.asarray(ee),
+                               atol=1e-6, rtol=1e-6)
+    # the pretrained path keeps the BatchNorm layout (checkpoint compat)
+    cfg2 = build_config(["v2_fork"], ["capacity=4", "n_signal=16384",
+                                      "batch_size=2",
+                                      "valid_signal_crop=false"])
+    v2 = RAVE(cfg=cfg2, train_mode=True).init(rngs, x, method=RAVE.warmup)
+    assert "attn_bn" in v2["batch_stats"]["speaker_encoder"]
