@@ -173,6 +173,11 @@ class RAVEConfig:
     # optimisation
     ema_decay: Optional[float] = None  # reference scripts/train.py EMA cb
     learning_rate: float = 1e-4
+    # separate LR for the from-scratch speaker encoder + AAM head (the
+    # ECAPA recipe trains at ~1e-3; the generator's 1e-4 separates
+    # speakers far too slowly from random init).  None -> learning_rate.
+    # Only consulted when train_speaker_encoder=true.
+    speaker_learning_rate: Optional[float] = 1e-3
     adam_b1: float = 0.5
     adam_b2: float = 0.9
     batch_size: int = 8

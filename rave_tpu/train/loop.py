@@ -43,17 +43,24 @@ DEC_GROUP = ("decoder",)
 FROZEN_GROUP = ("speaker_encoder",)
 
 
-def _enc_group(cfg: RAVEConfig) -> tuple:
-    """The encoder optimizer group; the speaker encoder joins it when
-    trained rather than frozen (cfg.train_speaker_encoder -- the
-    no-pretrained-checkpoint fallback), and the speaker-classification
-    head (cfg.speaker_classes) always trains when present."""
-    g = ENC_GROUP
+def _spk_group(cfg: RAVEConfig) -> tuple:
+    """The speaker optimizer group: the from-scratch speaker encoder
+    (cfg.train_speaker_encoder -- frozen otherwise, the reference's
+    pretrained default) and the AAM classification head
+    (cfg.speaker_classes).  Runs at ``cfg.speaker_learning_rate`` (the
+    ECAPA-recipe ~1e-3) instead of the generator LR."""
+    g = ()
     if cfg.speaker_embedding_size > 0 and cfg.speaker_classes > 0:
         g = g + ("speaker_classifier",)
     if cfg.train_speaker_encoder:
         g = g + FROZEN_GROUP
     return g
+
+
+def _enc_group(cfg: RAVEConfig) -> tuple:
+    """The encoder optimizer group (encoder + latent head + CE
+    projection; speaker modules train in their own group)."""
+    return ENC_GROUP
 
 
 class TrainState(struct.PyTreeNode):
@@ -65,6 +72,7 @@ class TrainState(struct.PyTreeNode):
     dec_opt: Any
     dis_opt: Any
     ema_params: Optional[Any] = None
+    spk_opt: Optional[Any] = None   # speaker encoder + AAM head group
 
 
 def build_discriminator(cfg: RAVEConfig):
@@ -84,16 +92,20 @@ def build_discriminator(cfg: RAVEConfig):
 
 
 def make_optimizers(cfg: RAVEConfig):
-    tx = lambda: optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
-    return tx(), tx(), tx()
+    tx = lambda lr: optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    spk_lr = cfg.speaker_learning_rate or cfg.learning_rate
+    return tx(cfg.learning_rate), tx(cfg.learning_rate), \
+        tx(cfg.learning_rate), tx(spk_lr)
 
 
-def _split_groups(params, enc_group=ENC_GROUP):
+def _split_groups(params, enc_group=ENC_GROUP, spk_group=()):
     enc = {k: v for k, v in params.items() if k in enc_group}
     dec = {k: v for k, v in params.items() if k in DEC_GROUP}
+    spk = {k: v for k, v in params.items() if k in spk_group}
     rest = {k: v for k, v in params.items()
-            if k not in enc_group and k not in DEC_GROUP}
-    return enc, dec, rest
+            if k not in enc_group and k not in DEC_GROUP
+            and k not in spk_group}
+    return enc, dec, spk, rest
 
 
 def init_state(cfg: RAVEConfig, rng: jax.Array,
@@ -115,8 +127,9 @@ def init_state(cfg: RAVEConfig, rng: jax.Array,
     dis_vars = jax.jit(disc.init)({"params": r[4]}, x)
     dis_params = unfreeze(dis_vars["params"])
 
-    enc_tx, dec_tx, dis_tx = make_optimizers(cfg)
-    enc, dec, _ = _split_groups(gen_params, _enc_group(cfg))
+    enc_tx, dec_tx, dis_tx, spk_tx = make_optimizers(cfg)
+    enc, dec, spk, _ = _split_groups(gen_params, _enc_group(cfg),
+                                     _spk_group(cfg))
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen_params,
@@ -127,6 +140,7 @@ def init_state(cfg: RAVEConfig, rng: jax.Array,
         dis_opt=dis_tx.init(dis_params),
         ema_params=(jax.tree.map(jnp.copy, gen_params)
                     if cfg.ema_decay else None),
+        spk_opt=spk_tx.init(spk) if spk else None,
     )
 
 
@@ -435,7 +449,7 @@ def _fill_metrics(cfg, partial_metrics):
 def make_train_step(cfg: RAVEConfig):
     model = RAVE(cfg=cfg)
     disc = build_discriminator(cfg)
-    enc_tx, dec_tx, dis_tx = make_optimizers(cfg)
+    enc_tx, dec_tx, dis_tx, spk_tx = make_optimizers(cfg)
 
     def gen_loss_fn(gen_params, state: TrainState, batch, rng):
         out = _forward_losses(cfg, model, disc, gen_params, state.dis_params,
@@ -491,8 +505,9 @@ def make_train_step(cfg: RAVEConfig):
         def do_gen(state):
             (loss, (new_state, metrics)), grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True)(state.gen_params, state, batch, rng)
-            enc_g, dec_g, _ = _split_groups(grads, _enc_group(cfg))
-            enc_p, dec_p, _ = _split_groups(state.gen_params, _enc_group(cfg))
+            eg, sg = _enc_group(cfg), _spk_group(cfg)
+            enc_g, dec_g, spk_g, _ = _split_groups(grads, eg, sg)
+            enc_p, dec_p, spk_p, _ = _split_groups(state.gen_params, eg, sg)
             enc_u, enc_opt = enc_tx.update(enc_g, state.enc_opt, enc_p)
             dec_u, dec_opt = dec_tx.update(dec_g, state.dec_opt, dec_p)
             new_params = dict(state.gen_params)
@@ -500,6 +515,11 @@ def make_train_step(cfg: RAVEConfig):
                 new_params[k] = v
             for k, v in optax.apply_updates(dec_p, dec_u).items():
                 new_params[k] = v
+            spk_opt = state.spk_opt
+            if spk_p:
+                spk_u, spk_opt = spk_tx.update(spk_g, state.spk_opt, spk_p)
+                for k, v in optax.apply_updates(spk_p, spk_u).items():
+                    new_params[k] = v
             ema = state.ema_params
             if ema is not None and cfg.ema_decay:
                 d = cfg.ema_decay
@@ -507,7 +527,7 @@ def make_train_step(cfg: RAVEConfig):
                                    ema, new_params)
             return state.replace(gen_params=new_params, enc_opt=enc_opt,
                                  dec_opt=dec_opt, model_state=new_state,
-                                 ema_params=ema), \
+                                 ema_params=ema, spk_opt=spk_opt), \
                 metrics
 
         def do_dis(state):
