@@ -57,6 +57,16 @@ class AAMSpeakerHead(nn.Module):
     classes: int
     margin: float = 0.2
     scale: float = 30.0
+    # subtract the batch-mean embedding before normalizing: softmax CE is
+    # shift-invariant per item, so without centering the objective is
+    # satisfied by tiny class-dependent components riding on an
+    # arbitrarily large shared direction -- embeddings that classify
+    # perfectly while every raw pairwise cosine pins at 1.0 (measured,
+    # round 5).  Centering makes the angular objective act on the
+    # discriminative components themselves; cosine SCORING must center
+    # by a mean embedding the same way (speaker-verification mean
+    # normalization -- see trainer.conversion_quality).
+    center: bool = True
 
     @nn.compact
     def __call__(self, emb: jax.Array,
@@ -64,6 +74,8 @@ class AAMSpeakerHead(nn.Module):
         w = self.param("weight", nn.initializers.lecun_normal(),
                        (emb.shape[-1], self.classes))
         wn = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-9)
+        if self.center:
+            emb = emb - jnp.mean(emb, axis=0, keepdims=True)
         en = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-9)
         cos = (en @ wn).astype(jnp.float32)  # (B, classes)
         if labels is None:

@@ -106,7 +106,7 @@ def ema_eval_view(cfg, state):
 
 
 def conversion_quality(spk_emb_fn, state, conv_pair, yc,
-                       sr: int) -> dict:
+                       sr: int, ref_x=None) -> dict:
     """Objective voice-conversion quality of one validation demo
     (round-3 verdict #6; the reference logs audio only,
     ``model.py:713-731``):
@@ -125,6 +125,17 @@ def conversion_quality(spk_emb_fn, state, conv_pair, yc,
                            np.asarray(tgt)[:, :t]], axis=0)
     e = np.asarray(spk_emb_fn(state, jnp.asarray(trio)))
     e = e.reshape(3, -1)
+    if ref_x is not None:
+        # embedding mean normalization (standard speaker-verification
+        # scoring; mirrors AAMSpeakerHead.center): raw embeddings carry
+        # a large shared component that softmax training never removes,
+        # pinning every raw cosine at ~1 -- center by the validation
+        # batch's mean embedding so cosines measure the discriminative
+        # components.  Crop to the trio length so the jitted embed fn
+        # sees one shape per validation (no extra compiles).
+        ref = np.asarray(ref_x)[:, :t]
+        ref_e = np.asarray(spk_emb_fn(state, jnp.asarray(ref)))
+        e = e - ref_e.reshape(ref_e.shape[0], -1).mean(0, keepdims=True)
 
     def cos(a, b):
         return float(np.dot(a, b)
@@ -423,7 +434,7 @@ def train_main(args) -> None:
                         # pitch register?
                         cm = conversion_quality(
                             spk_emb_fn, est, conv_pair, yc_arr,
-                            cfg.sampling_rate)
+                            cfg.sampling_rate, ref_x=np.asarray(vb["x"]))
                         for k in cm:
                             vals.setdefault(k, []).append(cm[k])
                 v = (float(np.mean(vals["validation"]))
