@@ -111,13 +111,14 @@ class RAVEConfig:
     # is available (the reference always freezes a pretrained one,
     # model.py:165-174; see `rave-tpu train --speaker_ckpt`)
     train_speaker_encoder: bool = False
-    # speaker-encoder normalization: "auto" = LayerNorm (batch-
-    # independent, train==eval) when training from scratch, BatchNorm
-    # (the reference's VoxCeleb-checkpoint layout) otherwise; force
-    # "batch" to fine-tune a pretrained checkpoint with
-    # train_speaker_encoder=true, or "item"/"batch" to pin explicitly.
-    # See models/speaker.py:SpeakerRAVE.item_norm for why from-scratch
-    # BatchNorm is unusable here (eps-dominated batch variance).
+    # speaker-encoder normalization: "auto" = cohort-statistics
+    # whitening with no stored stats (train==eval; embeddings depend on
+    # the batch/cohort) when training from scratch, BatchNorm (the
+    # reference's VoxCeleb-checkpoint layout) otherwise; force "batch"
+    # to fine-tune a pretrained checkpoint with
+    # train_speaker_encoder=true, or "cohort"/"batch" to pin
+    # explicitly.  See models/speaker.py:CohortNorm for the measured
+    # round-5 failure modes this resolves.
     speaker_norm: str = "auto"
     # >0 adds a linear speaker-classification head on the 256-d speaker
     # embedding trained by CE over the dataset's speaker ids.  The

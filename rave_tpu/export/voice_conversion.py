@@ -58,6 +58,7 @@ class VoiceConverter:
             # stats, RVQ codebooks) override the fresh init
             aux = {**aux, **{k: v for k, v in model_state.items()
                              if k != "cache"}}
+        self.model_state = aux
 
         def fwd(cache, x, emb, pitch_feat):
             v = {"params": self.params, "cache": cache, **aux}
@@ -188,14 +189,31 @@ class VoiceConverter:
     # ---- speaker table (reference export.py:75-97 precomputes the
     # target embeddings from wav files at export time) -------------------
 
-    def embed_speaker_audio(self, x: np.ndarray) -> np.ndarray:
-        """Whole-utterance speaker embedding (256,) from target audio,
-        computed on a fresh cache so it does not disturb the stream."""
-        pad = (-len(x)) % self.chunk
-        xj = jnp.asarray(np.pad(x.astype(np.float32), (0, pad))
-                         .reshape(1, -1, 1))
-        e, _ = self._spk(self._fresh_cache(), xj)
-        return np.asarray(e[0])
+    def embed_speaker_audio(self, x: np.ndarray,
+                            segments: int = 4) -> np.ndarray:
+        """Speaker embedding (256,) from target audio: the utterance is
+        chunked into up to ``segments`` segments embedded as ONE offline
+        batch, mean-pooled.  The batch matters beyond robustness:
+        from-scratch (cohort-norm) speaker encoders whiten by batch
+        statistics (models.speaker.CohortNorm), so a single-item batch
+        would center every feature on itself and return a degenerate
+        constant -- the segments are the enrollment cohort."""
+        from ..models.rave import RAVE
+        x = x.astype(np.float32)
+        seg_len = max(32768, len(x) // max(1, segments))
+        n = max(1, len(x) // seg_len)
+        if n == 1:
+            # too short to chunk: split in half so cohort stats exist
+            seg_len = max(8192, len(x) // 2)
+            n = max(1, len(x) // seg_len)
+        segs = np.stack([x[i * seg_len:(i + 1) * seg_len]
+                         for i in range(n)])[..., None]
+        mdl = RAVE(cfg=self.cfg, streaming=False, train_mode=False)
+        variables = {"params": self.params, **self.model_state}
+        bands = mdl.apply(variables, jnp.asarray(segs),
+                          method=RAVE.pqmf_forward)
+        e = mdl.apply(variables, bands, method=RAVE.speaker_embedding)
+        return np.asarray(jnp.mean(e, axis=0))
 
     @staticmethod
     def build_speaker_table(cfg: RAVEConfig, params,

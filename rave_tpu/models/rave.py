@@ -209,20 +209,20 @@ class RAVE(nn.Module):
             self.pqmf = None
 
         if cfg.speaker_embedding_size > 0:
-            # from-scratch speaker encoders use batch-independent
-            # LayerNorms (identical train/eval -- see
-            # SpeakerRAVE.item_norm); the pretrained-checkpoint path
-            # keeps the reference's BatchNorm layout, frozen running
-            # averages by default (reference model.py:351-353)
+            # from-scratch speaker encoders use cohort-statistics
+            # whitening with no stored stats (identical train/eval --
+            # see models.speaker.CohortNorm); the pretrained-checkpoint
+            # path keeps the reference's BatchNorm layout, frozen
+            # running averages by default (reference model.py:351-353)
             norm = cfg.speaker_norm
             if norm == "auto":
-                norm = "item" if cfg.train_speaker_encoder else "batch"
-            if norm not in ("item", "batch"):
+                norm = "cohort" if cfg.train_speaker_encoder else "batch"
+            if norm not in ("cohort", "batch"):
                 raise ValueError(f"unknown speaker_norm {cfg.speaker_norm!r}")
             self.speaker_encoder = SpeakerRAVE(
                 train_bn=(norm == "batch" and cfg.train_speaker_encoder
                           and self.train_mode),
-                item_norm=(norm == "item"))
+                cohort_norm=(norm == "cohort"))
         else:
             self.speaker_encoder = None
 

@@ -44,6 +44,45 @@ def _max_pool_1d(x: jax.Array, window: int = 2) -> jax.Array:
     return x.reshape(x.shape[0], T // window, window, x.shape[2]).max(2)
 
 
+def standardize_embeddings(emb: jax.Array, eps: float = 1e-10):
+    """Per-feature batch/cohort standardization of speaker embeddings
+    (optional scoring whitening; see :class:`AAMSpeakerHead`).
+    ``emb``: (B, D)."""
+    mu = jnp.mean(emb, axis=0, keepdims=True)
+    var = jnp.var(emb, axis=0, keepdims=True)
+    return (emb - mu) / jnp.sqrt(var + eps)
+
+
+class CohortNorm(nn.Module):
+    """Batch-statistics normalization with learnable scale/bias and NO
+    stored running statistics: the value of BatchNorm's batch-stats mode
+    (per-feature whitening across the batch, which equalizes the tiny
+    discriminative directions of a from-scratch speaker trunk) without
+    its train/eval mode switch.  Embeddings therefore depend on the
+    whole batch ("cohort"): training batches mix speakers, and scoring/
+    enrollment must embed a cohort of >= 2 items together (chunk a
+    single clip into segments -- see export/voice_conversion.py).
+
+    Round-5 measurement behind this: with BatchNorm, AAM training
+    separated 8 speakers to mean pairwise cosine -0.11 in batch-stats
+    mode while the SAME weights collapsed to +0.9998 under running
+    averages (pre-norm batch variance ~1e-7 sits below the BN epsilon,
+    so stored statistics cannot reproduce the whitening); LayerNorm
+    (no cross-item centering) left the shared embedding component
+    dominant and separated glacially."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        mu = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return (x - mu) / jnp.sqrt(var + self.eps) * scale + bias
+
+
 class AAMSpeakerHead(nn.Module):
     """Additive-angular-margin softmax head (the ECAPA/VoxCeleb training
     objective the reference's pretrained speaker encoder was built with):
@@ -57,16 +96,13 @@ class AAMSpeakerHead(nn.Module):
     classes: int
     margin: float = 0.2
     scale: float = 30.0
-    # subtract the batch-mean embedding before normalizing: softmax CE is
-    # shift-invariant per item, so without centering the objective is
-    # satisfied by tiny class-dependent components riding on an
-    # arbitrarily large shared direction -- embeddings that classify
-    # perfectly while every raw pairwise cosine pins at 1.0 (measured,
-    # round 5).  Centering makes the angular objective act on the
-    # discriminative components themselves; cosine SCORING must center
-    # by a mean embedding the same way (speaker-verification mean
-    # normalization -- see trainer.conversion_quality).
-    center: bool = True
+    # optionally standardize each embedding feature across the batch
+    # before normalizing.  OFF by default: with the trunk's CohortNorm
+    # whitening (SpeakerRAVE cohort mode) the raw embeddings separate in
+    # plain cosine and no head-side whitening is needed; head-side
+    # standardization alone (tried round 5) dilutes the signal across
+    # noise directions and stalls classification.
+    standardize: bool = False
 
     @nn.compact
     def __call__(self, emb: jax.Array,
@@ -74,8 +110,8 @@ class AAMSpeakerHead(nn.Module):
         w = self.param("weight", nn.initializers.lecun_normal(),
                        (emb.shape[-1], self.classes))
         wn = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-9)
-        if self.center:
-            emb = emb - jnp.mean(emb, axis=0, keepdims=True)
+        if self.standardize:
+            emb = standardize_embeddings(emb)
         en = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-9)
         cos = (en @ wn).astype(jnp.float32)  # (B, classes)
         if labels is None:
@@ -95,24 +131,21 @@ class SpeakerRAVE(nn.Module):
     frozen running stats would stay at the mean-0/var-1 init forever and
     the BNs would normalize against meaningless statistics.
 
-    ``item_norm=True`` replaces both BatchNorms with LayerNorms
-    (batch-independent, identical in train and eval) -- the from-scratch
-    training mode.  Round-5 finding: a from-scratch run drives the
-    pre-norm batch variance to ~1e-7 (below the BN epsilon), so the
-    speaker separation the AAM objective learns lives entirely in
-    eps-amplified noise that BatchNorm's train(batch-stats) vs
-    eval(running-average) mode switch then destroys -- embeddings that
-    separate to cosine -0.1 in train mode collapse to 0.9998 in eval
-    mode.  The reference never hits this because it only ever loads a
-    VoxCeleb-pretrained encoder with healthy statistics; keep
-    ``item_norm=False`` (BatchNorm) when loading those checkpoints."""
+    ``cohort_norm=True`` replaces both BatchNorms with
+    :class:`CohortNorm` (batch-statistics whitening, no stored stats,
+    identical in train and eval) -- the from-scratch training mode; see
+    CohortNorm's docstring for the measured round-5 failure modes of
+    both BatchNorm and LayerNorm here.  The reference never hits this
+    because it only ever loads a VoxCeleb-pretrained encoder with
+    healthy statistics; keep ``cohort_norm=False`` (BatchNorm) when
+    loading those checkpoints."""
     ss: StreamSetup = StreamSetup()
     train_bn: bool = False
-    item_norm: bool = False
+    cohort_norm: bool = False
 
     def _norm(self, name: str):
-        if self.item_norm:
-            return nn.LayerNorm(name=name)
+        if self.cohort_norm:
+            return CohortNorm(name=name)
         return nn.BatchNorm(use_running_average=not self.train_bn,
                             name=name)
 

@@ -121,21 +121,20 @@ def conversion_quality(spk_emb_fn, state, conv_pair, yc,
     """
     src, tgt = conv_pair
     t = min(yc.shape[1], src.shape[1], tgt.shape[1])
-    trio = np.concatenate([np.asarray(yc)[:, :t], np.asarray(src)[:, :t],
-                           np.asarray(tgt)[:, :t]], axis=0)
-    e = np.asarray(spk_emb_fn(state, jnp.asarray(trio)))
-    e = e.reshape(3, -1)
+    batch = [np.asarray(yc)[:, :t], np.asarray(src)[:, :t],
+             np.asarray(tgt)[:, :t]]
     if ref_x is not None:
-        # embedding mean normalization (standard speaker-verification
-        # scoring; mirrors AAMSpeakerHead.center): raw embeddings carry
-        # a large shared component that softmax training never removes,
-        # pinning every raw cosine at ~1 -- center by the validation
-        # batch's mean embedding so cosines measure the discriminative
-        # components.  Crop to the trio length so the jitted embed fn
-        # sees one shape per validation (no extra compiles).
-        ref = np.asarray(ref_x)[:, :t]
-        ref_e = np.asarray(spk_emb_fn(state, jnp.asarray(ref)))
-        e = e - ref_e.reshape(ref_e.shape[0], -1).mean(0, keepdims=True)
+        # cohort embedding: from-scratch speaker encoders whiten by
+        # batch statistics (models.speaker.CohortNorm), so the trio is
+        # embedded JOINTLY with the validation batch -- the cohort
+        # supplies the normalization statistics (speaker-verification
+        # enrollment does the same; for a batch-independent pretrained
+        # encoder the extra items are simply inert).  Crop to the trio
+        # length so the jitted embed fn sees one shape per validation.
+        batch.append(np.asarray(ref_x)[:, :t])
+    e = np.asarray(spk_emb_fn(state, jnp.asarray(
+        np.concatenate(batch, axis=0))))
+    e = e.reshape(e.shape[0], -1)[:3]
 
     def cos(a, b):
         return float(np.dot(a, b)
