@@ -111,6 +111,15 @@ class RAVEConfig:
     # is available (the reference always freezes a pretrained one,
     # model.py:165-174; see `rave-tpu train --speaker_ckpt`)
     train_speaker_encoder: bool = False
+    # >0 trains a speaker-adversarial classifier on the (detached-for-
+    # the-decoder) content latent with gradient reversal at this weight:
+    # the classifier learns to read the speaker from z while the encoder
+    # is pushed to erase it.  EXCEEDS the reference, which relies on
+    # ~1M-step perturbation training for the same disentanglement
+    # (round-5 measurement: at 16k steps the decoder still resynthesizes
+    # the source timbre from residual register cues in z; the adversary
+    # removes them in a few k steps).  0 = off (reference behavior).
+    latent_adversary_weight: float = 0.0
     # speaker-encoder normalization: "auto" = cohort-statistics
     # whitening with no stored stats (train==eval; embeddings depend on
     # the batch/cohort) when training from scratch, BatchNorm (the
@@ -174,11 +183,13 @@ class RAVEConfig:
     # optimisation
     ema_decay: Optional[float] = None  # reference scripts/train.py EMA cb
     learning_rate: float = 1e-4
-    # separate LR for the from-scratch speaker encoder + AAM head (the
-    # ECAPA recipe trains at ~1e-3; the generator's 1e-4 separates
-    # speakers far too slowly from random init).  None -> learning_rate.
-    # Only consulted when train_speaker_encoder=true.
-    speaker_learning_rate: Optional[float] = 1e-3
+    # separate LR for the from-scratch speaker encoder + AAM head.
+    # None -> learning_rate.  Measured round 5: with cohort-norm
+    # whitening, 1e-4 converges the AAM objective fast (accuracy ~1.0
+    # within ~1k steps on an 8-speaker corpus) while 1e-3 oscillates
+    # and never separates -- the ECAPA-recipe 1e-3 assumes large-corpus
+    # BatchNorm training, not this whitened micro-corpus regime.
+    speaker_learning_rate: Optional[float] = None
     adam_b1: float = 0.5
     adam_b2: float = 0.9
     batch_size: int = 8

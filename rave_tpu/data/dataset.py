@@ -534,6 +534,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self._epoch = 0
+        self._pool = None
 
     @staticmethod
     def _shape(items: list) -> dict:
@@ -551,12 +552,13 @@ class DataLoader:
         for i in range(0, stop, self.bs):
             yield idx[i:i + self.bs]
 
-    def _get(self, j: int) -> dict:
+    def _get(self, j: int, epoch: Optional[int] = None) -> dict:
         if hasattr(self.ds, "get"):
             # per-(seed, epoch, index) rng: augmentation draws independent
             # of worker scheduling (parallel == serial)
             return self.ds.get(int(j), np.random.default_rng(
-                (self.seed, self._epoch, int(j))))
+                (self.seed, self._epoch if epoch is None else epoch,
+                 int(j))))
         return self.ds[int(j)]
 
     def _epoch_batches(self) -> Iterator[dict]:
@@ -569,16 +571,34 @@ class DataLoader:
             # fork-based process pool (the reference trains with
             # num_workers=8 torch DataLoader workers,
             # scripts/train.py:143-149); the memmap store is fork-safe
-            # read-only and per-item rngs make draws order-independent
+            # read-only and per-item rngs make draws order-independent.
+            # The pool is created ONCE (per-epoch pools forked hundreds
+            # of workers over a long run) and the task feed is gated by
+            # a semaphore released as the consumer takes batches:
+            # pool.imap alone has NO result-side backpressure, so
+            # workers outrunning the train loop grew the parent's
+            # result cache without bound (measured round 5: ~8 MB/step
+            # retained -> 130 GB RSS -> oom-kill at step ~14.9k).
+            # The epoch rides in the task tuple so persistent workers
+            # still draw per-(seed, epoch, index) augmentations.
             import multiprocessing as mp
-            ctx = mp.get_context("fork")
             global _POOL_LOADER
-            _POOL_LOADER = self
-            with ctx.Pool(self.num_workers) as pool:
-                for batch in pool.imap(
-                        _pool_batch, self._epoch_index_chunks(),
-                        chunksize=1):
-                    yield batch
+            if self._pool is None:
+                ctx = mp.get_context("fork")
+                _POOL_LOADER = self
+                self._pool = ctx.Pool(self.num_workers)
+            sem = threading.Semaphore(self.prefetch + self.num_workers)
+            epoch = self._epoch
+
+            def gated():
+                for c in self._epoch_index_chunks():
+                    sem.acquire()
+                    yield (epoch, c)
+
+            for batch in self._pool.imap(_pool_batch, gated(),
+                                         chunksize=1):
+                sem.release()
+                yield batch
             return
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
@@ -605,6 +625,7 @@ class DataLoader:
 _POOL_LOADER: Optional["DataLoader"] = None
 
 
-def _pool_batch(chunk) -> dict:
+def _pool_batch(task) -> dict:
+    epoch, chunk = task
     dl = _POOL_LOADER
-    return dl._shape([dl._get(j) for j in chunk])
+    return dl._shape([dl._get(j, epoch) for j in chunk])

@@ -231,6 +231,23 @@ class RAVE(nn.Module):
         else:
             self.ce_projection = None
 
+        if cfg.speaker_embedding_size > 0 \
+                and cfg.latent_adversary_weight > 0 \
+                and cfg.speaker_classes > 0:
+            # speaker-adversarial probe on the content latent
+            # (cfg.latent_adversary_weight): small MLP over mean+std
+            # pooled z, trained by CE with a reversed gradient into the
+            # encoder.  The leading LayerNorm makes the probe
+            # scale-invariant: without it the encoder "wins" by blowing
+            # up z's scale instead of removing speaker information
+            # (measured round 5: NaN blow-up within 1k steps of the GAN
+            # phase engaging).
+            self.latent_adversary = nn.Sequential([
+                nn.LayerNorm(),
+                nn.Dense(128), nn.relu, nn.Dense(cfg.speaker_classes)])
+        else:
+            self.latent_adversary = None
+
         if cfg.speaker_embedding_size > 0 and cfg.speaker_classes > 0:
             # from-scratch discriminative training of the speaker
             # embedding: AAM-softmax head over speaker ids (the VoxCeleb
@@ -287,6 +304,14 @@ class RAVE(nn.Module):
         if self.cfg.train_speaker_encoder:
             return emb
         return jax.lax.stop_gradient(emb)
+
+    def adversary_logits(self, z: jax.Array) -> jax.Array:
+        """Speaker logits from the content latent (B, T, C): mean+std
+        pooled over time, then the adversary MLP
+        (``cfg.latent_adversary_weight``)."""
+        pooled = jnp.concatenate([jnp.mean(z, axis=1),
+                                  jnp.std(z, axis=1)], axis=-1)
+        return self.latent_adversary(pooled)
 
     def classify_speaker(self, emb: jax.Array,
                          labels: Optional[jax.Array] = None) -> jax.Array:
@@ -408,6 +433,8 @@ class RAVE(nn.Module):
             _ = self.project_units(z)
         if self.speaker_classifier is not None:
             _ = self.classify_speaker(self.speaker_embedding(bands))
+        if self.latent_adversary is not None:
+            _ = self.adversary_logits(z)
         _ = self.reparametrize(z, train=False)
         return y
 

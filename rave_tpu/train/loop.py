@@ -52,6 +52,8 @@ def _spk_group(cfg: RAVEConfig) -> tuple:
     g = ()
     if cfg.speaker_embedding_size > 0 and cfg.speaker_classes > 0:
         g = g + ("speaker_classifier",)
+        if cfg.latent_adversary_weight > 0:
+            g = g + ("latent_adversary",)
     if cfg.train_speaker_encoder:
         g = g + FROZEN_GROUP
     return g
@@ -307,6 +309,22 @@ def _forward_losses(cfg: RAVEConfig, model: RAVE, disc, gen_params,
             aux["spk_acc"] = jnp.mean(
                 (jnp.argmax(plain, -1) == batch["speaker"]).astype(
                     jnp.float32))
+        if cfg.latent_adversary_weight > 0 and cfg.speaker_classes > 0 \
+                and "speaker" in batch:
+            # speaker-adversarial disentanglement of the content latent
+            # (RAVEConfig.latent_adversary_weight): gradient reversal --
+            # forward is z, backward scales the encoder's gradient by
+            # -lambda, while the adversary head itself trains normally
+            lam = cfg.latent_adversary_weight
+            z_rev = jax.lax.stop_gradient((1 + lam) * z) - lam * z
+            logits = model.apply(variables, z_rev,
+                                 method=RAVE.adversary_logits)
+            oh = jax.nn.one_hot(batch["speaker"], cfg.speaker_classes)
+            aux["adv_ce"] = -jnp.mean(jnp.sum(
+                jax.nn.log_softmax(logits.astype(jnp.float32)) * oh, -1))
+            aux["adv_acc"] = jnp.mean(
+                (jnp.argmax(logits, -1) == batch["speaker"]).astype(
+                    jnp.float32))
         emb = jnp.broadcast_to(emb[:, None, :],
                                (z.shape[0], z.shape[1], emb.shape[-1]))
         z_dec = jnp.concatenate([z_dec, emb], axis=-1)
@@ -436,6 +454,8 @@ def _metric_names(cfg: RAVEConfig) -> tuple[str, ...]:
                   "loss_fullband_spectral_distance"]
     if cfg.speaker_embedding_size > 0 and cfg.speaker_classes > 0:
         names += ["loss_speaker_ce", "speaker_accuracy"]
+        if cfg.latent_adversary_weight > 0:
+            names += ["loss_latent_adversary", "latent_adversary_accuracy"]
     return tuple(sorted(names))
 
 
@@ -488,6 +508,13 @@ def make_train_step(cfg: RAVEConfig):
             total = total + spk_ce * cfg.weights.get("speaker_ce", 1.0)
             metrics["loss_speaker_ce"] = spk_ce
             metrics["speaker_accuracy"] = out["aux"]["spk_acc"]
+        if "adv_ce" in out["aux"]:
+            # the reversal scaling lives inside the z_rev trick; the CE
+            # itself rides at weight 1 so the adversary head trains at
+            # full strength
+            total = total + out["aux"]["adv_ce"]
+            metrics["loss_latent_adversary"] = out["aux"]["adv_ce"]
+            metrics["latent_adversary_accuracy"] = out["aux"]["adv_acc"]
         metrics["loss_gen_total"] = total
         return total, (out["new_state"], _fill_metrics(cfg, metrics))
 

@@ -204,15 +204,19 @@ def test_two_process_multihost(tmp_path):
     outdir = tmp_path / "mh"
     outdir.mkdir()
     procs, outs = launch(outdir)
-    if any(p.returncode != 0 for p in procs) and any(
-            "Gloo context initialization failed" in o for o in outs):
+    for attempt in range(2):
+        if not (any(p.returncode != 0 for p in procs) and any(
+                "Gloo context initialization failed" in o for o in outs)):
+            break
         # infra flake, not product code: gloo's KV rendezvous has a fixed
         # 30 s deadline, and on a loaded 2-core host the workers' compile
-        # skew can exceed it.  One retry (the compile cache is warm now).
-        # Product failures (e.g. the round-3 orbax barrier race,
-        # FAILED_PRECONDITION "Barrier ... already ongoing") do NOT match
-        # this filter and fail immediately.
-        outdir = tmp_path / "mh_retry"
+        # skew can exceed it (observed when the suite shares the box with
+        # a training run).  Retry up to twice -- the compile cache is
+        # warm after the first attempt.  Product failures (e.g. the
+        # round-3 orbax barrier race, FAILED_PRECONDITION "Barrier ...
+        # already ongoing") do NOT match this filter and fail
+        # immediately.
+        outdir = tmp_path / f"mh_retry{attempt}"
         outdir.mkdir()
         procs, outs = launch(outdir)
     for i, (p, out) in enumerate(zip(procs, outs)):

@@ -370,3 +370,32 @@ def test_training_reduces_reconstruction_loss():
     first = np.mean(losses[:5])
     last = np.mean(losses[-5:])
     assert last < 0.85 * first, (first, last)
+
+
+def test_latent_adversary_gradient_reversal():
+    """`latent_adversary_weight>0`: the adversary head trains (its CE is
+    finite and its params move) and the encoder receives the REVERSED
+    gradient (its params move even with unit CE absent)."""
+    cfg = build_config(["v2_fork"], TINY + [
+        "train_speaker_encoder=true", "speaker_classes=4",
+        "latent_adversary_weight=0.5", "hubert_units=0"])
+    cfg.discriminator.kind = "multi_scale"
+    cfg.discriminator.capacity = 4
+    cfg.discriminator.n_layers = 2
+    cfg.discriminator.member_weights = None
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    assert "latent_adversary" in state.gen_params
+    step = jax.jit(make_train_step(cfg))
+    batch = make_batch(cfg)
+    batch["speaker"] = jnp.arange(cfg.batch_size, dtype=jnp.int32) % 4
+    a0 = np.asarray(
+        jax.tree.leaves(state.gen_params["latent_adversary"])[0]).copy()
+    e0 = np.asarray(jax.tree.leaves(state.gen_params["encoder"])[0]).copy()
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    m = jax.tree.map(float, m)
+    assert np.isfinite(m["loss_latent_adversary"])
+    assert m["loss_latent_adversary"] > 0
+    a1 = np.asarray(jax.tree.leaves(state.gen_params["latent_adversary"])[0])
+    e1 = np.asarray(jax.tree.leaves(state.gen_params["encoder"])[0])
+    assert not np.allclose(a0, a1), "adversary head got no gradient"
+    assert not np.allclose(e0, e1), "encoder got no reversed gradient"
