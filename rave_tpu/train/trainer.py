@@ -285,7 +285,18 @@ def train_main(args) -> None:
         print(f"resumed from step {int(state.step)}")
     state = replicate_state(state, mesh)
 
-    step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    # donate the batch too: its device buffers free as soon as the step
+    # consumes them.  KNOWN ISSUE (round 5, measured): the tunnelled
+    # (axon) client retains each transferred batch's HOST staging
+    # memory regardless of buffer lifetime, donation, or gc --
+    # ~payload-bytes/step (~8 MB at batch 8x131072) until the kernel
+    # oom-kills a long run.  Isolated: constant device batch -> flat
+    # RSS; fresh device_put per step -> linear growth even with true
+    # value-fetch syncs.  Mitigation for long runs on tunnelled
+    # runtimes: chunked execution with --resume (exact; see
+    # docs/training_guide.md "Long runs").  Real TPU hosts (non-
+    # tunnelled PJRT) do not exhibit this.
+    step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0, 1))
     eval_fn = jax.jit(make_eval_step(cfg))
     rng = jax.device_put(jax.random.PRNGKey(1), rep)
 
