@@ -588,17 +588,34 @@ class DataLoader:
                 _POOL_LOADER = self
                 self._pool = ctx.Pool(self.num_workers)
             sem = threading.Semaphore(self.prefetch + self.num_workers)
+            stop = threading.Event()
             epoch = self._epoch
 
             def gated():
+                # runs inside the pool's task-handler thread: never
+                # block it indefinitely -- multiprocessing joins that
+                # thread at interpreter exit, so an un-released
+                # semaphore wait there deadlocks process shutdown
+                # (measured round 5: 20-min hang after the final
+                # checkpoint when the train loop stops mid-epoch)
                 for c in self._epoch_index_chunks():
-                    sem.acquire()
+                    while not sem.acquire(timeout=0.5):
+                        if stop.is_set():
+                            return
+                    if stop.is_set():
+                        return
                     yield (epoch, c)
 
-            for batch in self._pool.imap(_pool_batch, gated(),
-                                         chunksize=1):
+            try:
+                for batch in self._pool.imap(_pool_batch, gated(),
+                                             chunksize=1):
+                    sem.release()
+                    yield batch
+            finally:
+                # normal exhaustion or consumer abandonment
+                # (GeneratorExit): unblock the feeder
+                stop.set()
                 sem.release()
-                yield batch
             return
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
