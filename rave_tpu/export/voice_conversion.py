@@ -166,6 +166,13 @@ class VoiceConverter:
         self._target_acc[:] = 0
 
     def set_learn_target(self, on: bool):
+        # NOTE: live enrollment averages per-chunk batch-1 embeddings,
+        # which is only meaningful for pretrained (running-stat) speaker
+        # encoders -- the reference's own use of this attribute
+        # (export.py:447-452).  A from-scratch cohort-norm encoder
+        # whitens every lone chunk to the same constant; enroll such
+        # targets offline via embed_speaker_audio(..., cohort=...) /
+        # build_speaker_table instead.
         if on and not self.learn_target:
             self._target_acc[:] = 0
             self._target_n = 0
@@ -190,14 +197,21 @@ class VoiceConverter:
     # target embeddings from wav files at export time) -------------------
 
     def embed_speaker_audio(self, x: np.ndarray,
-                            segments: int = 4) -> np.ndarray:
+                            segments: int = 4,
+                            cohort: np.ndarray | None = None) -> np.ndarray:
         """Speaker embedding (256,) from target audio: the utterance is
         chunked into up to ``segments`` segments embedded as ONE offline
-        batch, mean-pooled.  The batch matters beyond robustness:
-        from-scratch (cohort-norm) speaker encoders whiten by batch
-        statistics (models.speaker.CohortNorm), so a single-item batch
-        would center every feature on itself and return a degenerate
-        constant -- the segments are the enrollment cohort."""
+        batch, mean-pooled.  For from-scratch (cohort-norm) speaker
+        encoders (models.speaker.CohortNorm), pass ``cohort`` --
+        OTHER-speaker audio embedded jointly: CohortNorm whitens the
+        pooled statistics across the batch, so a single-item batch
+        returns the norm's bias through the affine output layer for
+        every speaker, and a same-speaker segment batch mean-pools back
+        to that same constant (centering removes exactly the cohort
+        mean).  Only segments of a cohort that SPANS speakers retain an
+        identity direction after whitening.  Pretrained (running-stat)
+        encoders ignore all of this; segment averaging is then just the
+        standard ECAPA enrollment recipe."""
         from ..models.rave import RAVE
         x = x.astype(np.float32)
         seg_len = max(32768, len(x) // max(1, segments))
@@ -208,27 +222,43 @@ class VoiceConverter:
             n = max(1, len(x) // seg_len)
         segs = np.stack([x[i * seg_len:(i + 1) * seg_len]
                          for i in range(n)])[..., None]
+        n_tgt = len(segs)
+        if cohort is not None:
+            c = cohort.astype(np.float32)
+            m = max(1, min(len(c) // seg_len, n))
+            csegs = np.stack([c[i * seg_len:(i + 1) * seg_len]
+                              for i in range(m)])[..., None]
+            segs = np.concatenate([segs, csegs], axis=0)
         mdl = RAVE(cfg=self.cfg, streaming=False, train_mode=False)
         variables = {"params": self.params, **self.model_state}
         bands = mdl.apply(variables, jnp.asarray(segs),
                           method=RAVE.pqmf_forward)
         e = mdl.apply(variables, bands, method=RAVE.speaker_embedding)
-        return np.asarray(jnp.mean(e, axis=0))
+        return np.asarray(jnp.mean(e[:n_tgt], axis=0))
 
     @staticmethod
     def build_speaker_table(cfg: RAVEConfig, params,
                             wav_paths: list,
                             model_state=None) -> np.ndarray:
         """Embedding table from target-speaker wavs (the reference bakes
-        speaker1..speaker4 buffers into ScriptedRAVE, export.py:75-97)."""
+        speaker1..speaker4 buffers into ScriptedRAVE, export.py:75-97).
+        Each speaker is embedded with the OTHER speakers' audio as its
+        whitening cohort (see ``embed_speaker_audio``: for cohort-norm
+        encoders a lone speaker whitens to a constant, so a multi-wav
+        table built in isolation would collapse to identical rows)."""
         from ..data.audio_io import load_wav
         vc = VoiceConverter(cfg, params, model_state=model_state)
-        rows = []
+        clips = []
         for p in wav_paths:
             x, sr = load_wav(p)
             if sr != cfg.sampling_rate:
                 raise ValueError(f"{p}: {sr} != model sr {cfg.sampling_rate}")
-            rows.append(vc.embed_speaker_audio(x))
+            clips.append(x)
+        rows = []
+        for i, x in enumerate(clips):
+            others = [c for j, c in enumerate(clips) if j != i]
+            cohort = np.concatenate(others) if others else None
+            rows.append(vc.embed_speaker_audio(x, cohort=cohort))
         return np.stack(rows).astype(np.float32)
 
     # ---- AOT serialisation ----------------------------------------------

@@ -447,8 +447,31 @@ class RAVE(nn.Module):
         if isinstance(self.latent, VariationalHead) \
                 and self.cfg.speaker_embedding_size == 0:
             z, _ = VariationalHead.mean_scale(z)
-        tgt_bands = self.pqmf_forward(target)
-        emb = self.speaker_embedding(tgt_bands)
+        # Enrollment cohort: embed source and target segments JOINTLY and
+        # average the target's.  The from-scratch (CohortNorm) speaker
+        # encoder whitens the pooled statistics across the batch
+        # (models/speaker.py bn5), so a single-item batch returns the
+        # same constant (the norm's bias through the affine fc6) for
+        # EVERY speaker -- and a same-speaker segment cohort mean-pools
+        # back to that constant too, because centering removes exactly
+        # the cohort mean and fc6 commutes with the average.  A cohort
+        # spanning BOTH clips keeps the target-vs-source identity
+        # direction in the whitened embedding -- precisely the direction
+        # conversion conditions on.  For batch/running-stat encoders
+        # (the reference's pretrained ECAPA) joint embedding is a no-op
+        # and segment averaging is the standard enrollment recipe.
+        B = target.shape[0]
+        T = min(x.shape[1], target.shape[1])
+        segs = 4 if T >= 4 * 32768 else 2
+        seg_len = (T // segs)
+
+        def _chunks(a):
+            return a[:, : segs * seg_len].reshape(
+                B * segs, seg_len, a.shape[-1])
+
+        cohort = jnp.concatenate([_chunks(x), _chunks(target)], axis=0)
+        emb_all = self.speaker_embedding(self.pqmf_forward(cohort))
+        emb = jnp.mean(emb_all.reshape(2, B, segs, -1)[1], axis=1)
         emb = jnp.broadcast_to(emb[:, None, :],
                                (z.shape[0], z.shape[1], emb.shape[-1]))
         z = jnp.concatenate([z, emb], axis=-1)
